@@ -1,0 +1,20 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The environment may pre-register a TPU backend (axon) via sitecustomize and
+force jax_platforms to it with jax.config.update — which overrides the
+JAX_PLATFORMS env var. Tests must run on CPU (fast, deterministic, and with
+8 virtual devices for multi-chip sharding tests), so we override the config
+back before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
