@@ -1,0 +1,99 @@
+"""Device-resident global-descriptor database with cosine kNN search.
+
+Capability parity with the reference's `NearestNeighborsMatching`
+(/root/reference/cslam/nns_matching.py): add_item / search / search_best
+with identical return semantics (items sorted by descending cosine
+similarity; min(k, n) results). The implementation is TPU-native:
+
+- fixed-capacity device buffer, padded rows masked; capacity growth is a
+  power-of-two re-bucket (one recompile per bucket) instead of the
+  reference's torch.concat doubling (nns_matching.py:33-38);
+- search is one MXU matmul + on-device top-k (ops/knn.py), so arbitrary
+  query batches cost one kernel launch.
+"""
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from cslam_tpu.ops import knn
+
+_INITIAL_CAPACITY = 1024
+
+
+class DescriptorDatabase:
+    """Append-only descriptor store with brute-force cosine kNN."""
+
+    def __init__(self, dim: Optional[int] = None,
+                 capacity: int = _INITIAL_CAPACITY):
+        self.n = 0
+        self.dim = dim
+        self.items: Dict[int, Any] = {}
+        self._capacity = capacity
+        self._data = None
+        if dim is not None:
+            self._alloc(dim)
+
+    def _alloc(self, dim: int):
+        self.dim = dim
+        self._data = jnp.zeros((self._capacity, dim), dtype=jnp.float32)
+
+    def __len__(self):
+        return self.n
+
+    @property
+    def data(self):
+        """Device array view (including padding rows)."""
+        return self._data
+
+    def add_item(self, vector, item):
+        """Add a descriptor with its identification info (e.g. keyframe id)."""
+        vector = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if self._data is None:
+            self._alloc(vector.shape[0])
+        if vector.shape[0] != self.dim:
+            raise ValueError(
+                f"descriptor dim {vector.shape[0]} != database dim {self.dim}")
+        if self.n >= self._capacity:
+            self._capacity *= 2
+            self._data = knn.grow(self._data, self._capacity)
+        self._data = knn.set_row(self._data, self.n, jnp.asarray(vector))
+        self.items[self.n] = item
+        self.n += 1
+
+    def search(self, query, k: int) -> Tuple[List[Any], np.ndarray]:
+        """k nearest items by cosine similarity, descending.
+
+        Returns ([], []) when empty, otherwise (items, similarities) of
+        length min(k, n) — matching nns_matching.py:44-63.
+        """
+        if self.n == 0:
+            return [], np.array([])
+        query = np.asarray(query, dtype=np.float32).reshape(1, self.dim)
+        k_eff = min(k, self.n)
+        idx, sims = knn.cosine_topk(self._data, self.n, jnp.asarray(query),
+                                    min(k, self._capacity))
+        idx = np.asarray(idx[0][:k_eff])
+        sims = np.asarray(sims[0][:k_eff])
+        return [self.items[int(i)] for i in idx], sims
+
+    def search_best(self, query):
+        """Single nearest item; (None, None) when empty."""
+        if self.n == 0:
+            return None, None
+        items, sims = self.search(query, 1)
+        return items[0], sims[0]
+
+    def batch_search(self, queries, k: int):
+        """Batched search: (B, dim) queries -> (B, k') indices/items/sims."""
+        if self.n == 0:
+            return [], np.zeros((0, 0))
+        queries = np.asarray(queries, dtype=np.float32).reshape(-1, self.dim)
+        k_eff = min(k, self.n)
+        idx, sims = knn.cosine_topk(self._data, self.n, jnp.asarray(queries),
+                                    min(k, self._capacity))
+        idx = np.asarray(idx[:, :k_eff])
+        sims = np.asarray(sims[:, :k_eff])
+        items = [[self.items[int(i)] for i in row] for row in idx]
+        return items, sims

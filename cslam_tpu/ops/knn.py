@@ -1,0 +1,81 @@
+"""Batched cosine-similarity k-nearest-neighbor search ops.
+
+TPU-native replacement for the reference's torch/CUDA brute-force kNN
+(/root/reference/cslam/nns_matching.py:44-63): similarities are one matmul
+that lands on the MXU, top-k runs on-device, and the database is a padded
+static-shape buffer (capacity doubling = next power-of-two bucket +
+recompile, replacing the reference's torch.concat doubling realloc at
+nns_matching.py:33-38).
+
+All functions are pure and jit-compatible; invalid (padded) rows are
+masked to -inf similarity.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def cosine_topk(data, n_valid, queries, k):
+    """Top-k cosine similarity of each query against data[:n_valid].
+
+    Args:
+      data: (N_cap, D) float32 descriptor database (rows >= n_valid are
+        padding and are excluded from results).
+      n_valid: scalar int — number of valid rows.
+      queries: (B, D) float32 query descriptors.
+      k: static int — number of neighbors.
+
+    Returns:
+      (indices, sims): (B, k) int32 row indices into data and (B, k)
+      float32 cosine similarities, sorted descending. Entries past
+      min(k, n_valid) have sims == -inf.
+    """
+    data = data.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+    data_norm = jnp.linalg.norm(data, axis=-1)
+    q_norm = jnp.linalg.norm(queries, axis=-1)
+    # MXU matmul: (B, D) @ (D, N) -> (B, N)
+    dots = jnp.dot(queries, data.T, preferred_element_type=jnp.float32)
+    denom = jnp.maximum(q_norm[:, None] * data_norm[None, :], 1e-12)
+    sims = dots / denom
+    row_ids = jnp.arange(data.shape[0], dtype=jnp.int32)
+    sims = jnp.where(row_ids[None, :] < n_valid, sims, NEG_INF)
+    top_sims, top_idx = jax.lax.top_k(sims, k)
+    return top_idx.astype(jnp.int32), top_sims
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def set_row(data, row, vector):
+    """In-place (donated) row write for the device-resident database."""
+    return data.at[row].set(vector.astype(data.dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
+def grow(data, new_capacity):
+    """Copy into a larger zero-padded buffer (capacity-doubling)."""
+    pad = new_capacity - data.shape[0]
+    return jnp.concatenate(
+        [data, jnp.zeros((pad, data.shape[1]), dtype=data.dtype)], axis=0)
+
+
+def cross_similarity(data_a, n_a, data_b, n_b):
+    """Full (N_a, N_b) cosine-similarity matrix with padding masked to -inf.
+
+    Used by the batched cross-robot matching path: every stored descriptor
+    of robot A against every stored descriptor of robot B in one MXU call.
+    """
+    a = data_a.astype(jnp.float32)
+    b = data_b.astype(jnp.float32)
+    an = jnp.linalg.norm(a, axis=-1)
+    bn = jnp.linalg.norm(b, axis=-1)
+    dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    sims = dots / jnp.maximum(an[:, None] * bn[None, :], 1e-12)
+    rows = jnp.arange(a.shape[0], dtype=jnp.int32)
+    cols = jnp.arange(b.shape[0], dtype=jnp.int32)
+    mask = (rows[:, None] < n_a) & (cols[None, :] < n_b)
+    return jnp.where(mask, sims, NEG_INF)

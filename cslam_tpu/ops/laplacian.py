@@ -1,0 +1,53 @@
+"""Graph-Laplacian assembly ops (dense-blocked, TPU-friendly).
+
+Replaces the reference's scipy sparse triplet assembly
+(/root/reference/cslam/mac/utils.py:44-122) with dense scatter-adds.
+Pose-graph sizes in this problem domain (<= tens of thousands of poses,
+padded to power-of-two buckets) favor dense-blocked linear algebra on TPU
+over true sparse formats (SURVEY.md §7 hard part 1).
+
+Padded edges must carry weight 0 and endpoints (0, 0): they then contribute
+nothing to the Laplacian.
+"""
+
+import jax.numpy as jnp
+
+
+def laplacian_dense(e_i, e_j, weights, num_nodes):
+    """Weighted graph Laplacian L = D - W as a dense (P, P) matrix.
+
+    Args:
+      e_i, e_j: (E,) int32 endpoints.
+      weights: (E,) float32 edge weights (0 for padded edges).
+      num_nodes: static int P (padded node count).
+    """
+    w = weights.astype(jnp.float32)
+    L = jnp.zeros((num_nodes, num_nodes), dtype=jnp.float32)
+    L = L.at[e_i, e_i].add(w)
+    L = L.at[e_j, e_j].add(w)
+    L = L.at[e_i, e_j].add(-w)
+    L = L.at[e_j, e_i].add(-w)
+    return L
+
+
+def degree_vector(e_i, e_j, weights, num_nodes):
+    """Weighted degrees d_i = sum of incident edge weights, (P,)."""
+    w = weights.astype(jnp.float32)
+    d = jnp.zeros((num_nodes,), dtype=jnp.float32)
+    d = d.at[e_i].add(w)
+    d = d.at[e_j].add(w)
+    return d
+
+
+def laplacian_matvec(e_i, e_j, weights, x):
+    """y = L x without materializing L (for iterative eigensolvers).
+
+    (L x)_i = d_i x_i - sum_j w_ij x_j; implemented as two gather +
+    scatter-add passes — O(E) work, maps to VPU + segment sums.
+    """
+    w = weights.astype(x.dtype)
+    diff_i = w * (x[e_i] - x[e_j])
+    y = jnp.zeros_like(x)
+    y = y.at[e_i].add(diff_i)
+    y = y.at[e_j].add(-diff_i)
+    return y

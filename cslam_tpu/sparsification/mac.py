@@ -1,0 +1,233 @@
+"""MAC — maximize algebraic connectivity under an edge budget, on TPU.
+
+Re-design of the reference's vendored MAC solver
+(/root/reference/cslam/mac/mac.py): Frank-Wolfe maximization of
+lambda_2(L(w)) subject to |w| = k over candidate edge weights w in [0,1]^m.
+Semantics preserved:
+
+- supergradient grad_k = weight_k * (v_i - v_j)^2 from the Fiedler vector
+  (mac.py:112-130, eq. 8 of arXiv:2203.13897);
+- direction finding = top-k one-hot of the gradient (mac.py:132-147);
+- dual upper bound u = min(u, f + grad @ (s - w)) with duality-gap early
+  stop returning the *pre-step* iterate (mac.py:209-230);
+- step size 2/(it+2) (mac.py:229);
+- final rounding breaks ties by original edge weight (mac.py:168-189); the
+  reference's decimal_tol=10 truncation is a no-op at float32 precision so
+  exact-equality ties break by weight here too;
+- graph disconnection surfaces as DisconnectedGraphError, standing in for
+  the reference's "singular matrix" exception from TRACEMIN-LU
+  (algebraic_connectivity_maximization.py:449-464 relies on it to retry).
+  Because Frank-Wolfe steps w <- w + alpha*(s - w) with alpha < 1 never
+  zero a positive weight, the support of L(w) only grows across
+  iterations — so disconnection can only exist at the initial iterate and
+  is checked exactly (union-find on the host) before launching the jitted
+  solve, instead of relying on float32 eigensolver noise thresholds.
+
+The whole Frank-Wolfe loop is one jitted XLA program: dense Laplacian
+scatter-assembly + eigh Fiedler solve per iteration (ops/fiedler.py),
+static shapes via power-of-two padding of nodes and candidate edges.
+"""
+
+import functools
+from typing import List, NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cslam_tpu.ops.laplacian import laplacian_dense
+from cslam_tpu.utils.edges import Edge
+
+class DisconnectedGraphError(RuntimeError):
+    """Raised when the (fixed + selected-candidate) graph is disconnected."""
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.parent = list(range(n))
+
+    def find(self, x):
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+class MACResult(NamedTuple):
+    w: np.ndarray  # rounded {0,1}^m selection
+    w_unrounded: np.ndarray
+    upper_bound: float
+
+
+def _next_pow2(n: int, minimum: int = 64) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+def _fiedler_dense(L, node_mask):
+    """(lambda_2, v_2) with analytic deflation of the constant mode.
+
+    Shifts: the constant-over-real-nodes mode moves up by c, padded nodes
+    sit at `big`; both exceed lambda_2 (<= lambda_max <= 2*max_degree), so
+    the smallest eigenpair of the shifted matrix is exactly (lambda_2, v_2).
+    Keeping the shifts O(max_degree) (not O(trace)) preserves float32
+    eigensolver accuracy on the small eigenvalues.
+    """
+    n_real = jnp.maximum(jnp.sum(node_mask), 1.0)
+    max_deg = jnp.max(jnp.diag(L))
+    c = 2.0 * max_deg + 1.0
+    big = 2.0 * max_deg + 2.0
+    L_shifted = (L + (c / n_real) * jnp.outer(node_mask, node_mask) +
+                 jnp.diag((1.0 - node_mask) * big))
+    vals, vecs = jnp.linalg.eigh(L_shifted)
+    return vals[0], vecs[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes"))
+def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
+               duality_gap_tol, *, k, max_iters, num_nodes):
+    """Jitted Frank-Wolfe subset selection. Returns
+    (w_rounded, w_unrounded, upper_bound, disconnected_flag)."""
+
+    def fiedler_at(w):
+        L = L_fixed + laplacian_dense(e_i, e_j, w * weights, num_nodes)
+        return _fiedler_dense(L, node_mask)
+
+    def round_topk(key_vec):
+        _, idx = jax.lax.top_k(jnp.where(valid, key_vec, -jnp.inf), k)
+        return jnp.zeros_like(key_vec).at[idx].set(1.0)
+
+    def cond(state):
+        it, _, _, done = state
+        return (it < max_iters) & (~done)
+
+    def body(state):
+        it, w, u, _ = state
+        lam2, v = fiedler_at(w)
+        grad = weights * jnp.square(v[e_i] - v[e_j]) * valid
+        s = round_topk(grad)
+        u_new = jnp.minimum(u, lam2 + jnp.dot(grad, s - w))
+        done = (u_new - lam2) < duality_gap_tol
+        alpha = 2.0 / (it.astype(jnp.float32) + 2.0)
+        w_next = jnp.where(done, w, w + alpha * (s - w))
+        return it + 1, w_next, u_new, done
+
+    init = (jnp.int32(0), w_init.astype(jnp.float32), jnp.float32(jnp.inf),
+            jnp.bool_(False))
+    _, w, u, _ = jax.lax.while_loop(cond, body, init)
+
+    # Tie-break rounding: primary key w, secondary key original weight
+    # (mac.py round_solution_tiebreaker). lexsort's last key is primary.
+    primary = jnp.where(valid, w, -1.0)
+    order = jnp.lexsort((weights, primary))
+    top = order[-k:] if k > 0 else order[:0]
+    w_rounded = jnp.zeros_like(w).at[top].set(1.0) if k > 0 else jnp.zeros_like(w)
+    return w_rounded, w, u
+
+
+class MAC:
+    """Host wrapper: builds padded arrays once, runs the jitted FW solve.
+
+    Interface parity with the reference MAC class (mac.py:19-233):
+    __init__(fixed_measurements, candidate_measurements, num_poses) and
+    fw_subset(w_init, k, max_iters, duality_gap_tol).
+    """
+
+    def __init__(self, fixed_measurements: Sequence[Edge],
+                 candidate_measurements: Sequence[Edge], num_poses: int):
+        self.num_poses = int(num_poses)
+        self._P = _next_pow2(max(self.num_poses, 2))
+        m = len(candidate_measurements)
+        self._E = _next_pow2(max(m, 1), minimum=8)
+        self.m = m
+
+        fi = np.zeros(max(len(fixed_measurements), 1), dtype=np.int32)
+        fj = np.zeros(max(len(fixed_measurements), 1), dtype=np.int32)
+        fw = np.zeros(max(len(fixed_measurements), 1), dtype=np.float32)
+        for idx, e in enumerate(fixed_measurements):
+            fi[idx], fj[idx], fw[idx] = e.i, e.j, e.weight
+        self.L_fixed = laplacian_dense(jnp.asarray(fi), jnp.asarray(fj),
+                                       jnp.asarray(fw), self._P)
+
+        self.e_i = np.zeros(self._E, dtype=np.int32)
+        self.e_j = np.zeros(self._E, dtype=np.int32)
+        self.weights = np.zeros(self._E, dtype=np.float32)
+        self.valid = np.zeros(self._E, dtype=np.float32)
+        for idx, e in enumerate(candidate_measurements):
+            self.e_i[idx], self.e_j[idx] = e.i, e.j
+            self.weights[idx] = e.weight
+            self.valid[idx] = 1.0
+
+        mask = np.zeros(self._P, dtype=np.float32)
+        mask[:self.num_poses] = 1.0
+        self.node_mask = jnp.asarray(mask)
+
+        self._fixed_pairs = [(int(e.i), int(e.j)) for e in fixed_measurements]
+        self._cand_pairs = [(int(e.i), int(e.j))
+                            for e in candidate_measurements]
+
+    def _check_connected(self, w, tol=1e-10):
+        """Exact connectivity of fixed edges + candidates with w > tol.
+
+        Raises DisconnectedGraphError (the reference's TRACEMIN
+        singular-matrix condition, mac.py:35-59) when any of the
+        num_poses nodes is unreachable."""
+        if self.num_poses <= 1:
+            return
+        uf = _UnionFind(self.num_poses)
+        for i, j in self._fixed_pairs:
+            uf.union(i, j)
+        for (i, j), wi in zip(self._cand_pairs, np.asarray(w)):
+            if wi > tol:
+                uf.union(i, j)
+        root = uf.find(0)
+        for node in range(1, self.num_poses):
+            if uf.find(node) != root:
+                raise DisconnectedGraphError(
+                    f"node {node} unreachable in the selected graph")
+
+    def _pad_w(self, w):
+        out = np.zeros(self._E, dtype=np.float32)
+        out[:len(w)] = np.asarray(w, dtype=np.float32)
+        return jnp.asarray(out)
+
+    def evaluate_objective(self, w) -> float:
+        """lambda_2(L(w)) — used by tests and greedy-vs-MAC comparisons."""
+        L = self.L_fixed + laplacian_dense(
+            jnp.asarray(self.e_i), jnp.asarray(self.e_j),
+            self._pad_w(w) * jnp.asarray(self.weights), self._P)
+        self._check_connected(w)
+        lam2, _ = _fiedler_dense(L, self.node_mask)
+        return float(lam2)
+
+    def fw_subset(self, w_init, k: int, max_iters: int = 5,
+                  duality_gap_tol: float = 1e-8) -> MACResult:
+        k = int(min(k, self.m))
+        if self.m == 0 or k <= 0:
+            return MACResult(np.zeros(self.m, np.float32),
+                             np.zeros(self.m, np.float32), float("inf"))
+        # FW support only grows, so connectivity at the initial iterate
+        # implies connectivity at every iterate (see module docstring).
+        self._check_connected(w_init)
+        w_rounded, w, u = _fw_subset(
+            self.L_fixed, jnp.asarray(self.e_i), jnp.asarray(self.e_j),
+            jnp.asarray(self.weights), jnp.asarray(self.valid),
+            self.node_mask, self._pad_w(w_init),
+            jnp.float32(duality_gap_tol),
+            k=k, max_iters=max_iters, num_nodes=self._P)
+        return MACResult(np.asarray(w_rounded)[:self.m],
+                         np.asarray(w)[:self.m], float(u))
+
+
+def select_measurements(measurements: Sequence, w) -> List:
+    """Subset of measurements where the rounded selection is 1
+    (mac/utils.py:144-154)."""
+    assert len(measurements) == len(w)
+    return [m for m, wi in zip(measurements, w) if wi == 1.0]
