@@ -37,17 +37,24 @@ def vee(W):
 
 
 def _sinc_coeffs(theta_sq):
-    """Return A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3 with
-    Taylor fallbacks for small angles (series to t^4)."""
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    small = theta_sq < 1e-8
+    """Return A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3.
+
+    Taylor fallbacks (series to t^4) below theta = 0.1 — a threshold chosen
+    for float32: the exact forms lose ~eps/theta^2 relative accuracy to
+    cancellation, the series has error O(theta^6) ~ 1e-10 at the boundary.
+    All guards are on the *inputs* of non-smooth ops so forward-mode
+    autodiff through the unselected branch stays finite (no 0 * inf)."""
+    small = theta_sq < 1e-2
     # Guard against 0/0 — the guarded values are discarded by jnp.where.
     safe_t2 = jnp.where(small, 1.0, theta_sq)
     safe_t = jnp.sqrt(safe_t2)
-    A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(safe_t) / safe_t)
-    B = jnp.where(small, 0.5 - theta_sq / 24.0,
+    t2 = theta_sq
+    t4 = theta_sq * theta_sq
+    A = jnp.where(small, 1.0 - t2 / 6.0 + t4 / 120.0,
+                  jnp.sin(safe_t) / safe_t)
+    B = jnp.where(small, 0.5 - t2 / 24.0 + t4 / 720.0,
                   (1.0 - jnp.cos(safe_t)) / safe_t2)
-    C = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
+    C = jnp.where(small, 1.0 / 6.0 - t2 / 120.0 + t4 / 5040.0,
                   (safe_t - jnp.sin(safe_t)) / (safe_t2 * safe_t))
     return A, B, C
 
@@ -63,19 +70,28 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """(..., 3, 3) -> (..., 3). Robust near theta=0 and theta=pi."""
+    """(..., 3, 3) -> (..., 3). Robust near theta=0 and theta=pi, and safe
+    under forward-mode autodiff at the identity (the pose-graph residual
+    Jacobians differentiate through here at near-zero error): arccos is
+    never evaluated near +-1 in a selected branch — below theta ~ 0.32 the
+    coefficient theta/(2 sin theta) uses a series in (1 - cos theta)."""
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
-    sin_theta = jnp.sin(theta)
     antisym = vee(R - jnp.swapaxes(R, -1, -2))
-    small = theta < 1e-4
-    near_pi = theta > jnp.pi - 1e-3
-    # small-angle: w ~ 0.5 * (1 + theta^2/6) * vee(R - R^T)
-    w_small = 0.5 * (1.0 + theta[..., None] ** 2 / 6.0) * antisym
-    safe_sin = jnp.where(jnp.abs(sin_theta) < 1e-10, 1.0, sin_theta)
-    w_generic = (theta / (2.0 * safe_sin))[..., None] * antisym
+    u = 1.0 - cos_theta  # >= 0; theta^2 ~ 2u + u^2/3 near 0
+    small = cos_theta > 0.95
+    near_pi = cos_theta < jnp.cos(jnp.pi - 1e-3)
+    # k(theta) = theta / (2 sin theta):
+    #   series: 0.5 * (1 + u/3 + 2 u^2/15)   (error < 1e-5 for theta < 0.32)
+    k_series = 0.5 * (1.0 + u / 3.0 + 2.0 * u * u / 15.0)
+    #   exact: arccos(c) / (2 sqrt(1 - c^2)), evaluated away from c = +-1
+    c_safe = jnp.where(small | near_pi, 0.0, cos_theta)
+    k_exact = jnp.arccos(c_safe) / (2.0 * jnp.sqrt(
+        jnp.maximum(1.0 - c_safe * c_safe, 1e-12)))
+    k = jnp.where(small, k_series, k_exact)
+    # theta for the near-pi branch only (arccos near -1 is fine primal-wise)
+    theta = jnp.arccos(jnp.where(near_pi, cos_theta, 0.0))
+    w_generic = k[..., None] * antisym
     # near pi: use the symmetric part. R = I + 2 B ww^T/theta^2 ... Extract
     # axis from diagonal of (R + I)/2 = I + (1-cos)/th^2 * W^2 ~  aa^T when
     # theta ~ pi:  (R + I)/2 ~ aa^T  =>  a_i^2 = (R_ii + 1)/2.
@@ -111,8 +127,7 @@ def so3_log(R):
     sign_dot = jnp.sum(axis_fixed * antisym, axis=-1, keepdims=True)
     axis_fixed = jnp.where(sign_dot < 0, -axis_fixed, axis_fixed)
     w_pi = axis_fixed * theta[..., None]
-    return jnp.where(small[..., None], w_small,
-                     jnp.where(near_pi[..., None], w_pi, w_generic))
+    return jnp.where(near_pi[..., None], w_pi, w_generic)
 
 
 def so3_left_jacobian(w):
@@ -128,9 +143,8 @@ def so3_left_jacobian(w):
 def so3_left_jacobian_inv(w):
     """V(w)^-1, exact with Taylor fallback."""
     theta_sq = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta_sq, 0.0))
-    small = theta_sq < 1e-8
-    safe_t = jnp.where(small, 1.0, theta)
+    small = theta_sq < 1e-2  # f32: exact form cancels below theta ~ 0.1
+    safe_t = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
     half = 0.5 * safe_t
     cot_coeff = jnp.where(
         small,
