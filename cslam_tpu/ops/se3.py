@@ -216,6 +216,50 @@ def normalize_rotation(R):
     return u @ (d[..., :, None] * vt)
 
 
+def quat_to_rot(q):
+    """(..., 4) quaternion [qx, qy, qz, qw] -> (..., 3, 3) rotation."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], axis=-1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], axis=-1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
+
+
+def rot_to_quat(R):
+    """(..., 3, 3) -> (..., 4) [qx, qy, qz, qw], w >= 0 (Shepperd's method,
+    numerically stable across all four cases)."""
+    m00, m01, m02 = R[..., 0, 0], R[..., 0, 1], R[..., 0, 2]
+    m10, m11, m12 = R[..., 1, 0], R[..., 1, 1], R[..., 1, 2]
+    m20, m21, m22 = R[..., 2, 0], R[..., 2, 1], R[..., 2, 2]
+    tr = m00 + m11 + m22
+    # four candidate constructions; pick the one with the largest pivot
+    qw0 = jnp.sqrt(jnp.maximum(1.0 + tr, 1e-12)) * 0.5
+    c0 = jnp.stack([(m21 - m12), (m02 - m20), (m10 - m01),
+                    4.0 * qw0 * qw0], axis=-1) / (4.0 * qw0[..., None])
+    qx1 = jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 1e-12)) * 0.5
+    c1 = jnp.stack([4.0 * qx1 * qx1, (m01 + m10), (m02 + m20),
+                    (m21 - m12)], axis=-1) / (4.0 * qx1[..., None])
+    qy2 = jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 1e-12)) * 0.5
+    c2 = jnp.stack([(m01 + m10), 4.0 * qy2 * qy2, (m12 + m21),
+                    (m02 - m20)], axis=-1) / (4.0 * qy2[..., None])
+    qz3 = jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 1e-12)) * 0.5
+    c3 = jnp.stack([(m02 + m20), (m12 + m21), 4.0 * qz3 * qz3,
+                    (m10 - m01)], axis=-1) / (4.0 * qz3[..., None])
+    pivots = jnp.stack([tr, m00 - m11 - m22, -m00 + m11 - m22,
+                        -m00 - m11 + m22], axis=-1)
+    best = jnp.argmax(pivots, axis=-1)
+    cands = jnp.stack([c0, c1, c2, c3], axis=-2)
+    q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1),
+                            axis=-2)[..., 0, :]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return jnp.where(q[..., 3:4] < 0, -q, q)
+
+
 def identity_poses(n, dtype=jnp.float32):
     R = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (n, 3, 3))
     t = jnp.zeros((n, 3), dtype=dtype)
