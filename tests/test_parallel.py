@@ -1,0 +1,78 @@
+"""Multi-chip parallel layer on the virtual 8-device CPU mesh: sharded
+kNN equals single-chip results; distributed PGO equals single-chip PGO."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.ops import knn
+from cslam_tpu.parallel import make_swarm_mesh
+from cslam_tpu.parallel.sharded_knn import sharded_cosine_topk
+from cslam_tpu.parallel import distributed_pgo
+from cslam_tpu.backend import pgo
+
+from test_pgo import build_graph, ate_rmse
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_swarm_mesh(8)
+
+
+def test_sharded_knn_matches_single_chip(mesh):
+    rng = np.random.default_rng(0)
+    N, D, B, k = 1024, 64, 7, 5
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    n_valid = 777
+    data[n_valid:] = 0.0
+    queries = rng.standard_normal((B, D)).astype(np.float32)
+
+    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), n_valid,
+                                        jnp.asarray(queries), k)
+    idx, sims = sharded_cosine_topk(mesh, jnp.asarray(data), n_valid,
+                                    jnp.asarray(queries), k)
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_idx))
+
+
+def test_sharded_knn_n_valid_at_shard_boundaries(mesh):
+    rng = np.random.default_rng(1)
+    N, D = 256, 16
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    q = rng.standard_normal((1, D)).astype(np.float32)
+    for n_valid in [1, 32, 33, 128, 255, 256]:
+        ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), n_valid,
+                                            jnp.asarray(q), 3)
+        idx, sims = sharded_cosine_topk(mesh, jnp.asarray(data), n_valid,
+                                        jnp.asarray(q), 3)
+        np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
+                                   atol=1e-5, err_msg=f"n_valid={n_valid}")
+
+
+def test_distributed_pgo_matches_single_chip(mesh):
+    rng = np.random.default_rng(2)
+    fg, Rs, ts = build_graph(rng, n=25, loops=((0, 12), (3, 20)),
+                             outliers=((2, 22),), init_noise=0.05)
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=100)
+
+    # single-chip
+    fg_single, _, _ = build_graph(np.random.default_rng(2), n=25,
+                                  loops=((0, 12), (3, 20)),
+                                  outliers=((2, 22),), init_noise=0.05)
+    res_single = pgo.optimize(fg_single, cfg)
+    ate_single = ate_rmse(fg_single, Rs, ts)
+
+    res_dist = distributed_pgo.optimize(mesh, fg, cfg)
+    ate_dist = ate_rmse(fg, Rs, ts)
+
+    assert np.isfinite(float(res_dist.cost))
+    # both recover the trajectory and reject the outlier
+    assert ate_dist < 0.05
+    assert abs(ate_dist - ate_single) < 0.02
+    g = fg.to_arrays()
+    loop_idx = np.nonzero(np.asarray(g.is_loop))[0]
+    w = np.asarray(res_dist.weights)
+    assert w[loop_idx[-1]] < 0.1  # outlier rejected
