@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric: loop-closure descriptor matching throughput (queries/s
+against a 100k x 512 database, cosine top-10) — the per-chip
+speed-of-light target (SURVEY §3.5 hot loop 1). Baseline: the reference's
+torch/CUDA brute-force kNN note "searching from 100000 items consume
+30ms" (/root/reference/cslam/nns_matching.py:44) = 33.3 queries/s.
+
+Secondary metrics (MAC sparsification solve, GNC-LM PGO) are written to
+benchmarks/BENCH_DETAIL.json and logged to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10,
+              iters=20):
+    rng = np.random.default_rng(0)
+    cap = 1
+    while cap < n_items:
+        cap *= 2
+    data = jnp.asarray(rng.standard_normal((cap, dim)), dtype=jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((batch, dim)),
+                          dtype=jnp.float32)
+    # warmup/compile
+    idx, sims = knn.cosine_topk(data, n_items, queries, k)
+    idx.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        idx, sims = knn.cosine_topk(data, n_items, queries, k)
+    idx.block_until_ready()
+    dt = time.perf_counter() - t0
+    qps = iters * batch / dt
+    _log(f"knn: {qps:.0f} queries/s (batch={batch}, {n_items}x{dim}, "
+         f"k={k}, {dt/iters*1e3:.2f} ms/batch)")
+    return qps
+
+
+def bench_mac(np_mod, iters=5):
+    from cslam_tpu.sparsification.mac import MAC
+    from cslam_tpu.utils.edges import Edge
+    rng = np.random.default_rng(1)
+    n_poses, n_cand, k = 500, 200, 10
+    fixed = [Edge(i, i + 1, 1.0) for i in range(n_poses - 1)]
+    cand = [
+        Edge(int(rng.integers(n_poses)), int(rng.integers(n_poses)),
+             float(rng.random())) for _ in range(n_cand)
+    ]
+    mac = MAC(fixed, cand, n_poses)
+    w0 = np.zeros(n_cand, dtype=np.float32)
+    w0[np.argsort([e.weight for e in cand])[-k:]] = 1.0
+    mac.fw_subset(w0, k, max_iters=20)  # warmup/compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mac.fw_subset(w0, k, max_iters=20)
+    dt = (time.perf_counter() - t0) / iters
+    _log(f"mac: {dt*1e3:.1f} ms/solve ({n_poses} poses, {n_cand} candidates, "
+         f"budget {k}, 20 FW iters)")
+    return dt
+
+
+def bench_pgo(iters=3):
+    import jax.numpy as jnp
+    from cslam_tpu.backend import pgo
+    from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
+                                                diag_sqrt_info)
+    from cslam_tpu.ops import se3
+    rng = np.random.default_rng(2)
+    n = 1000
+    fg = FactorGraph()
+    sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
+    for k in range(n - 1):
+        xi = rng.standard_normal(6).astype(np.float32) * 0.1
+        dR, dt_ = se3.se3_exp(jnp.asarray(xi))
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), np.asarray(dR),
+                                     np.asarray(dt_), sq))
+    for _ in range(50):
+        i, j = sorted(rng.integers(0, n, size=2).tolist())
+        if j - i < 2:
+            continue
+        fg.add_between(BetweenFactor((0, i), (0, j),
+                                     np.eye(3, dtype=np.float32),
+                                     np.zeros(3, dtype=np.float32), sq,
+                                     is_loop=True))
+    fg.set_prior((0, 0))
+    cfg = pgo.PGOConfig(lm_max_iters=10, cg_max_iters=50,
+                        gnc_max_outer_iters=10)
+    g = fg.to_arrays()
+    res = pgo.gnc_optimize(g, cfg)  # warmup/compile
+    res.t.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = pgo.gnc_optimize(g, cfg)
+    res.t.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    _log(f"pgo: {dt*1e3:.1f} ms/full GNC-LM solve ({n} poses, "
+         f"{fg.num_factors} factors)")
+    return dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from cslam_tpu.ops import knn
+
+    platform = jax.devices()[0].platform
+    _log(f"bench on {jax.devices()[0]} (platform={platform})")
+
+    qps = bench_knn(jnp, knn)
+    mac_dt = bench_mac(np)
+    pgo_dt = bench_pgo()
+
+    baseline_qps = 1.0 / 0.030  # nns_matching.py:44 — 30 ms per query
+    detail = {
+        "platform": platform,
+        "knn_queries_per_sec_100k_512": qps,
+        "knn_vs_reference_cuda": qps / baseline_qps,
+        "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
+        "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/BENCH_DETAIL.json", "w") as f:
+        json.dump(detail, f, indent=2)
+
+    print(json.dumps({
+        "metric": "loop_closure_matching_throughput",
+        "value": round(qps, 1),
+        "unit": "queries/s vs 100k-item db (cosine top-10, per chip)",
+        "vs_baseline": round(qps / baseline_qps, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

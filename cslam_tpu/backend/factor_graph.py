@@ -122,9 +122,14 @@ class FactorGraph:
     def num_factors(self):
         return len(self.factors)
 
-    def to_arrays(self) -> GraphArrays:
+    def to_arrays(self, edge_bucket_multiple: int = 1) -> GraphArrays:
+        """edge_bucket_multiple: round the edge bucket up so it divides
+        evenly over a device mesh of that size (factor-parallel PGO)."""
         P = _next_pow2(max(self.num_nodes, 2))
         E = _next_pow2(max(self.num_factors, 1))
+        if edge_bucket_multiple > 1 and E % edge_bucket_multiple:
+            E = ((E + edge_bucket_multiple - 1) // edge_bucket_multiple
+                 ) * edge_bucket_multiple
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), dtype=np.float32)
         R[:self.num_nodes] = np.stack(self.R) if self.R else R[:0]

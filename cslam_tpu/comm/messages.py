@@ -1,0 +1,382 @@
+"""Typed wire schema for inter-robot communication.
+
+Capability parity with the reference's `cslam_common_interfaces` message
+package (SURVEY §2 #30, inferred from usage at
+global_descriptor_loop_closure_detection.py:11-16, gtsam_utils.cpp:34-161,
+decentralized_pgo.h:16-27). Dataclasses with compact binary
+serialization (struct + raw numpy arrays) for the DCN bus — replacing
+ROS 2 IDL/DDS CDR encoding.
+"""
+
+import io
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------------------
+# serialization helpers
+# ----------------------------------------------------------------------
+
+
+def _pack_array(buf: io.BytesIO, arr: np.ndarray):
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    buf.write(struct.pack("<I", arr.size))
+    buf.write(arr.tobytes())
+
+
+def _unpack_array(buf: io.BytesIO, shape=None) -> np.ndarray:
+    (n,) = struct.unpack("<I", buf.read(4))
+    arr = np.frombuffer(buf.read(4 * n), dtype=np.float32).copy()
+    return arr.reshape(shape) if shape else arr
+
+
+def _pack_ints(buf: io.BytesIO, vals):
+    buf.write(struct.pack("<I", len(vals)))
+    buf.write(np.asarray(vals, dtype=np.int32).tobytes())
+
+
+def _unpack_ints(buf: io.BytesIO) -> List[int]:
+    (n,) = struct.unpack("<I", buf.read(4))
+    return np.frombuffer(buf.read(4 * n), dtype=np.int32).tolist()
+
+
+class Message:
+    """Base: subclasses define _FIELDS = [(name, kind)] with kind in
+    {'i', 'f', 'b', 'ints', 'floats', 'pose', 'bytes'}."""
+    _FIELDS: List[Tuple[str, str]] = []
+
+    def to_bytes(self) -> bytes:
+        buf = io.BytesIO()
+        for name, kind in self._FIELDS:
+            v = getattr(self, name)
+            if kind == "i":
+                buf.write(struct.pack("<i", int(v)))
+            elif kind == "f":
+                buf.write(struct.pack("<f", float(v)))
+            elif kind == "b":
+                buf.write(struct.pack("<?", bool(v)))
+            elif kind == "ints":
+                _pack_ints(buf, v)
+            elif kind == "floats":
+                _pack_array(buf, np.asarray(v))
+            elif kind == "pose":  # (R (3,3), t (3,)) as 12 floats
+                R, t = v
+                _pack_array(buf, np.concatenate(
+                    [np.asarray(R).reshape(9), np.asarray(t).reshape(3)]))
+            elif kind == "bytes":
+                buf.write(struct.pack("<I", len(v)))
+                buf.write(v)
+            else:
+                raise ValueError(kind)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes):
+        buf = io.BytesIO(data)
+        kwargs = {}
+        for name, kind in cls._FIELDS:
+            if kind == "i":
+                (kwargs[name],) = struct.unpack("<i", buf.read(4))
+            elif kind == "f":
+                (kwargs[name],) = struct.unpack("<f", buf.read(4))
+            elif kind == "b":
+                (kwargs[name],) = struct.unpack("<?", buf.read(1))
+            elif kind == "ints":
+                kwargs[name] = _unpack_ints(buf)
+            elif kind == "floats":
+                kwargs[name] = _unpack_array(buf)
+            elif kind == "pose":
+                flat = _unpack_array(buf)
+                kwargs[name] = (flat[:9].reshape(3, 3), flat[9:12])
+            elif kind == "bytes":
+                (n,) = struct.unpack("<I", buf.read(4))
+                kwargs[name] = buf.read(n)
+        return cls(**kwargs)
+
+
+def _identity_pose():
+    return (np.eye(3, dtype=np.float32), np.zeros(3, dtype=np.float32))
+
+
+@dataclass
+class GlobalDescriptor(Message):
+    keyframe_id: int = 0
+    robot_id: int = 0
+    descriptor: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    _FIELDS = [("keyframe_id", "i"), ("robot_id", "i"),
+               ("descriptor", "floats")]
+
+
+@dataclass
+class GlobalDescriptors(Message):
+    descriptors: List[GlobalDescriptor] = field(default_factory=list)
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<I", len(self.descriptors)))
+        for d in self.descriptors:
+            payload = d.to_bytes()
+            buf.write(struct.pack("<I", len(payload)))
+            buf.write(payload)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        (n,) = struct.unpack("<I", buf.read(4))
+        out = []
+        for _ in range(n):
+            (sz,) = struct.unpack("<I", buf.read(4))
+            out.append(GlobalDescriptor.from_bytes(buf.read(sz)))
+        return cls(descriptors=out)
+
+
+@dataclass
+class InterRobotMatch(Message):
+    robot0_id: int = 0
+    robot0_keyframe_id: int = 0
+    robot1_id: int = 0
+    robot1_keyframe_id: int = 0
+    weight: float = 0.0
+    _FIELDS = [("robot0_id", "i"), ("robot0_keyframe_id", "i"),
+               ("robot1_id", "i"), ("robot1_keyframe_id", "i"),
+               ("weight", "f")]
+
+
+@dataclass
+class InterRobotMatches(Message):
+    robot_id: int = 0
+    matches: List[InterRobotMatch] = field(default_factory=list)
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<iI", self.robot_id, len(self.matches)))
+        for m in self.matches:
+            buf.write(m.to_bytes())
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        robot_id, n = struct.unpack("<iI", buf.read(8))
+        matches = [InterRobotMatch.from_bytes(buf.read(20)) for _ in range(n)]
+        return cls(robot_id=robot_id, matches=matches)
+
+
+@dataclass
+class LocalDescriptorsRequest(Message):
+    keyframe_id: int = 0
+    matches_robot_id: List[int] = field(default_factory=list)
+    matches_keyframe_id: List[int] = field(default_factory=list)
+    _FIELDS = [("keyframe_id", "i"), ("matches_robot_id", "ints"),
+               ("matches_keyframe_id", "ints")]
+
+
+@dataclass
+class LocalKeyframeMatch(Message):
+    keyframe0_id: int = 0
+    keyframe1_id: int = 0
+    _FIELDS = [("keyframe0_id", "i"), ("keyframe1_id", "i")]
+
+
+@dataclass
+class InterRobotLoopClosure(Message):
+    robot0_id: int = 0
+    robot0_keyframe_id: int = 0
+    robot1_id: int = 0
+    robot1_keyframe_id: int = 0
+    success: bool = False
+    pose: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)  # robot0_kf -> robot1_kf
+    _FIELDS = [("robot0_id", "i"), ("robot0_keyframe_id", "i"),
+               ("robot1_id", "i"), ("robot1_keyframe_id", "i"),
+               ("success", "b"), ("pose", "pose")]
+
+
+@dataclass
+class IntraRobotLoopClosure(Message):
+    keyframe0_id: int = 0
+    keyframe1_id: int = 0
+    success: bool = False
+    pose: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    _FIELDS = [("keyframe0_id", "i"), ("keyframe1_id", "i"),
+               ("success", "b"), ("pose", "pose")]
+
+
+@dataclass
+class KeyframeOdom(Message):
+    id: int = 0
+    pose: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    _FIELDS = [("id", "i"), ("pose", "pose")]
+
+
+@dataclass
+class LocalPointCloudDescriptors(Message):
+    """Voxel-downsampled keyframe cloud for lidar geometric verification
+    (reference LocalPointCloudDescriptors usage, lidar_handler_node.py)."""
+    robot_id: int = 0
+    keyframe_id: int = 0
+    matches_robot_id: List[int] = field(default_factory=list)
+    matches_keyframe_id: List[int] = field(default_factory=list)
+    points: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 3), np.float32))
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<ii", self.robot_id, self.keyframe_id))
+        _pack_ints(buf, self.matches_robot_id)
+        _pack_ints(buf, self.matches_keyframe_id)
+        _pack_array(buf, self.points)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        rid, kid = struct.unpack("<ii", buf.read(8))
+        mrid = _unpack_ints(buf)
+        mkid = _unpack_ints(buf)
+        pts = _unpack_array(buf).reshape(-1, 3)
+        return cls(robot_id=rid, keyframe_id=kid, matches_robot_id=mrid,
+                   matches_keyframe_id=mkid, points=pts)
+
+
+@dataclass
+class Heartbeat(Message):
+    origin_robot_id: int = 0
+    _FIELDS = [("origin_robot_id", "i")]
+
+
+@dataclass
+class RobotIds(Message):
+    ids: List[int] = field(default_factory=list)
+    _FIELDS = [("ids", "ints")]
+
+
+@dataclass
+class RobotIdsAndOrigin(Message):
+    ids: List[int] = field(default_factory=list)
+    origins: List[int] = field(default_factory=list)
+    _FIELDS = [("ids", "ints"), ("origins", "ints")]
+
+
+@dataclass
+class PoseGraphValue(Message):
+    robot_id: int = 0
+    keyframe_id: int = 0
+    pose: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    _FIELDS = [("robot_id", "i"), ("keyframe_id", "i"), ("pose", "pose")]
+
+
+@dataclass
+class PoseGraphEdge(Message):
+    key_from: Tuple[int, int] = (0, 0)
+    key_to: Tuple[int, int] = (0, 0)
+    measurement: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    noise_std: np.ndarray = field(
+        default_factory=lambda: np.ones(6, np.float32))
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<iiii", *self.key_from, *self.key_to))
+        _pack_array(buf, np.concatenate(
+            [np.asarray(self.measurement[0]).reshape(9),
+             np.asarray(self.measurement[1]).reshape(3)]))
+        _pack_array(buf, self.noise_std)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        a, b, c, d = struct.unpack("<iiii", buf.read(16))
+        flat = _unpack_array(buf)
+        noise = _unpack_array(buf)
+        return cls(key_from=(a, b), key_to=(c, d),
+                   measurement=(flat[:9].reshape(3, 3), flat[9:12]),
+                   noise_std=noise)
+
+
+@dataclass
+class PoseGraph(Message):
+    """Per-robot pose graph exchanged during collection
+    (decentralized_pgo.cpp:417-475)."""
+    robot_id: int = 0
+    origin_robot_id: int = 0
+    values: List[PoseGraphValue] = field(default_factory=list)
+    edges: List[PoseGraphEdge] = field(default_factory=list)
+    connected_robots: List[int] = field(default_factory=list)
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<ii", self.robot_id, self.origin_robot_id))
+        _pack_ints(buf, self.connected_robots)
+        buf.write(struct.pack("<I", len(self.values)))
+        for v in self.values:
+            payload = v.to_bytes()
+            buf.write(struct.pack("<I", len(payload)))
+            buf.write(payload)
+        buf.write(struct.pack("<I", len(self.edges)))
+        for e in self.edges:
+            payload = e.to_bytes()
+            buf.write(struct.pack("<I", len(payload)))
+            buf.write(payload)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        rid, oid = struct.unpack("<ii", buf.read(8))
+        connected = _unpack_ints(buf)
+        (nv,) = struct.unpack("<I", buf.read(4))
+        values = []
+        for _ in range(nv):
+            (sz,) = struct.unpack("<I", buf.read(4))
+            values.append(PoseGraphValue.from_bytes(buf.read(sz)))
+        (ne,) = struct.unpack("<I", buf.read(4))
+        edges = []
+        for _ in range(ne):
+            (sz,) = struct.unpack("<I", buf.read(4))
+            edges.append(PoseGraphEdge.from_bytes(buf.read(sz)))
+        return cls(robot_id=rid, origin_robot_id=oid, values=values,
+                   edges=edges, connected_robots=connected)
+
+
+@dataclass
+class OptimizationResult(Message):
+    success: bool = False
+    origin_robot_id: int = 0
+    estimates: List[PoseGraphValue] = field(default_factory=list)
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<?i", self.success, self.origin_robot_id))
+        buf.write(struct.pack("<I", len(self.estimates)))
+        for v in self.estimates:
+            payload = v.to_bytes()
+            buf.write(struct.pack("<I", len(payload)))
+            buf.write(payload)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        success, oid = struct.unpack("<?i", buf.read(5))
+        (n,) = struct.unpack("<I", buf.read(4))
+        est = []
+        for _ in range(n):
+            (sz,) = struct.unpack("<I", buf.read(4))
+            est.append(PoseGraphValue.from_bytes(buf.read(sz)))
+        return cls(success=success, origin_robot_id=oid, estimates=est)
+
+
+@dataclass
+class KeyValue(Message):
+    """Metrics log record (diagnostic_msgs/KeyValue equivalent)."""
+    key: bytes = b""
+    value: bytes = b""
+    _FIELDS = [("key", "bytes"), ("value", "bytes")]

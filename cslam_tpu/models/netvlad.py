@@ -1,0 +1,137 @@
+"""NetVLAD visual place recognition in Flax.
+
+Capability parity with the reference's NetVLAD
+(/root/reference/cslam/vpr/netvlad.py): VGG16-conv5 features -> NetVLAD
+soft-assignment pooling (intra-normalized cluster residuals) -> optional
+PCA projection + whitening -> L2 norm; random descriptor when the
+checkpoint is "disable" (netvlad.py:233-236, testing only).
+
+TPU-native: the reference's per-cluster residual Python loop
+(netvlad.py:115-121, memory workaround for GPU) becomes one batched
+einsum — soft-assignment weights times feature residuals — which XLA
+fuses onto the MXU.
+"""
+
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def l2_normalize(x, axis=-1, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class VGG16Conv5(nn.Module):
+    """VGG16 feature extractor through conv5_3 (no final ReLU — matching
+    the reference's encoder crop, netvlad.py:156-166)."""
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512]
+        last_conv = len([c for c in cfg if c != "M"]) - 1
+        conv_idx = 0
+        for c in cfg:
+            if c == "M":
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(c, (3, 3), padding=1, dtype=self.dtype)(x)
+                if conv_idx != last_conv:
+                    x = nn.relu(x)
+                conv_idx += 1
+        return x
+
+
+class NetVLADLayer(nn.Module):
+    """Soft-assignment VLAD pooling (netvlad.py:27-129)."""
+    num_clusters: int = 64
+    dim: int = 512
+    normalize_input: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        B, H, W, C = x.shape
+        x = x.astype(jnp.float32)
+        if self.normalize_input:
+            x = l2_normalize(x, axis=-1)
+        centroids = self.param(
+            "centroids", nn.initializers.uniform(1.0),
+            (self.num_clusters, self.dim))
+        # 1x1 conv producing assignment logits
+        logits = nn.Conv(self.num_clusters, (1, 1), use_bias=False,
+                         name="assign_conv", dtype=jnp.float32)(x)
+        soft_assign = jax.nn.softmax(
+            logits.reshape(B, H * W, self.num_clusters), axis=-1)
+        feats = x.reshape(B, H * W, C)
+        # vlad[b, k, c] = sum_p a[b,p,k] * (f[b,p,c] - centroid[k,c])
+        weighted_feats = jnp.einsum("bpk,bpc->bkc", soft_assign, feats)
+        assign_mass = jnp.sum(soft_assign, axis=1)  # (B, K)
+        vlad = weighted_feats - assign_mass[..., None] * centroids[None]
+        vlad = l2_normalize(vlad, axis=-1)  # intra-normalization
+        vlad = vlad.reshape(B, -1)
+        return l2_normalize(vlad, axis=-1)
+
+
+class NetVLADNet(nn.Module):
+    num_clusters: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, image):
+        feats = VGG16Conv5(dtype=self.dtype)(image)
+        return NetVLADLayer(num_clusters=self.num_clusters,
+                            dim=feats.shape[-1])(feats)
+
+
+class NetVLAD:
+    """Runtime wrapper: compute_embedding(image) with optional PCA
+    (reference netvlad.py:132-236)."""
+
+    def __init__(self, params: dict, node=None, rng_seed: int = 0):
+        self.params_dict = params
+        self.node = node
+        self.checkpoint = params.get("frontend.nn_checkpoint", "disable")
+        self.pca_checkpoint = params.get("frontend.netvlad.pca_checkpoint",
+                                         "")
+        self.enabled = self.checkpoint not in ("", "disable", None)
+        self.descriptor_dim = params.get("frontend.global_descriptor_dim",
+                                         128)
+        self._rng = np.random.default_rng(rng_seed)
+        self.model = NetVLADNet()
+        self.pca_mean = None
+        self.pca_components = None
+        if self.enabled:
+            self.variables = self._load_checkpoint(self.checkpoint)
+            if self.pca_checkpoint:
+                with np.load(self.pca_checkpoint) as data:
+                    self.pca_mean = np.asarray(data["mean"])
+                    self.pca_components = np.asarray(data["components"])
+        else:
+            key = jax.random.PRNGKey(rng_seed)
+            dummy = jnp.zeros((1, 224, 224, 3), dtype=jnp.float32)
+            self.variables = self.model.init(key, dummy)
+        self._apply = jax.jit(lambda v, x: self.model.apply(v, x))
+
+    def _load_checkpoint(self, path):
+        from flax.traverse_util import unflatten_dict
+        with np.load(path, allow_pickle=True) as data:
+            flat = {k: jnp.asarray(v) for k, v in data.items()}
+        return unflatten_dict({tuple(k.split("/")): v
+                               for k, v in flat.items()})
+
+    def compute_embedding(self, image: np.ndarray) -> np.ndarray:
+        if not self.enabled:
+            v = self._rng.standard_normal(self.descriptor_dim)
+            return (v / np.linalg.norm(v)).astype(np.float32)
+        from cslam_tpu.models.cosplace import preprocess
+        batch = preprocess(image)
+        out = np.asarray(self._apply(self.variables, jnp.asarray(batch)))
+        if self.pca_components is not None:
+            out = (out - self.pca_mean) @ self.pca_components.T
+            out = out / np.maximum(
+                np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+        return out[0].astype(np.float32)

@@ -225,11 +225,8 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
 
 def optimize(mesh: Mesh, fg: FactorGraph,
              cfg: pgo_mod.PGOConfig = pgo_mod.PGOConfig()):
-    g = fg.to_arrays()
-    # pad edge bucket to a multiple of the mesh size
     n = mesh.shape[list(mesh.shape.keys())[0]]
-    if g.e_i.shape[0] % n:
-        raise ValueError("edge bucket not divisible by mesh size")
+    g = fg.to_arrays(edge_bucket_multiple=n)
     result = distributed_gnc_optimize(mesh, g, cfg)
     fg.update_estimates(result.R, result.t)
     return result
