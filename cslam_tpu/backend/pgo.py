@@ -46,7 +46,11 @@ class PGOResult(NamedTuple):
 
 
 class PGOConfig(NamedTuple):
-    barc_sq: float = 1.0
+    # Inlier gate on u = 0.5||r_whitened||^2. For 6-DOF between factors
+    # chi2(0.99, 6)/2 ~ 8.4; the default 10.0 keeps correctly-whitened
+    # inliers under realistic odometry drift (gtsam's barcSq=1.0 default
+    # assumes residuals are pre-scaled).
+    barc_sq: float = 10.0
     mu_step: float = 1.4
     gnc_max_outer_iters: int = 20
     lm_max_iters: int = 10

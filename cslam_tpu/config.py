@@ -59,7 +59,7 @@ class BackendConfig:
     max_waiting_time_sec: float = 60.0
     enable_broadcast_tf_frames: bool = True
     # GNC robust PGO knobs (replaces GTSAM GncOptimizer defaults)
-    gnc_barc_sq: float = 1.0  # inlier threshold on whitened squared residual
+    gnc_barc_sq: float = 10.0  # inlier gate ~ chi2(0.99, 6)/2 on 0.5||r||^2
     gnc_mu_step: float = 1.4
     gnc_max_outer_iters: int = 100
     lm_max_iters: int = 10

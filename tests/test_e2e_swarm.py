@@ -1,0 +1,188 @@
+"""End-to-end swarm integration: synthetic world -> descriptors ->
+gossip -> kNN matching -> MAC budgeted selection -> brokerage ->
+geometric verification -> decentralized GNC-LM PGO -> ATE improvement.
+
+This is the full pipeline of SURVEY §3.1-3.3 running in-process over the
+bus, with no hardware and no cluster."""
+
+import numpy as np
+import pytest
+
+from cslam_tpu.backend import pgo
+from cslam_tpu.backend.decentralized_pgo import OptimizerState
+from cslam_tpu.comm import messages as msgs
+from cslam_tpu.comm.bus import InProcessBus, InProcessRouter, ManualClock
+from cslam_tpu.frontend.sim import SimSensorHandler, SyntheticWorld
+from cslam_tpu.node import SwarmNode
+from cslam_tpu.utils.evaluation import ate_rmse
+
+
+def make_params(robot_id, max_nb_robots, budget=5):
+    return {
+        "robot_id": robot_id,
+        "max_nb_robots": max_nb_robots,
+        "frontend.similarity_threshold": 0.5,
+        "frontend.global_descriptor_technique": "simulated",
+        "frontend.inter_robot_loop_closure_budget": budget,
+        "frontend.nb_best_matches": 10,
+        "frontend.intra_loop_min_inbetween_keyframes": 6,
+        "frontend.detection_publication_max_elems_per_msg": 8,
+        "frontend.enable_intra_robot_loop_closures": False,
+        "frontend.enable_sparsification": True,
+        "frontend.use_vertex_cover_selection": True,
+        "frontend.sensor_type": "stereo",
+        "backend.max_waiting_time_sec": 60.0,
+        "neighbor_management.enable_neighbor_monitoring": False,
+        "neighbor_management.init_delay_sec": 0.0,
+        "neighbor_management.max_heartbeat_delay_sec": 5.0,
+        "evaluation.enable_logs": False,
+        "evaluation.enable_simulated_rendezvous": False,
+        "evaluation.rendezvous_schedule_file": "",
+        "evaluation.enable_sparsification_comparison": False,
+    }
+
+
+class _SimDescriptorModel:
+    """Descriptor model façade backed by the synthetic world."""
+
+    def __init__(self, world, rid):
+        self.world = world
+        self.rid = rid
+
+    def compute_embedding(self, kf_id):
+        return self.world.descriptor(self.rid, kf_id)
+
+
+def build_swarm(n_robots, n_poses, seed=0, drift=0.02, budget=5):
+    router = InProcessRouter()
+    clock = ManualClock()
+    world = SyntheticWorld(n_robots, n_poses, seed=seed)
+    nodes, handlers, odom = {}, {}, {}
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
+                        gnc_max_outer_iters=6)
+    for rid in range(n_robots):
+        bus = InProcessBus(router, rid)
+        params = make_params(rid, n_robots, budget)
+        nodes[rid] = SwarmNode(params, bus, clock,
+                               descriptor_model=_SimDescriptorModel(
+                                   world, rid), pgo_config=cfg)
+        handlers[rid] = SimSensorHandler(params, bus, world,
+                                         verification_gate=4.0)
+        odom[rid] = world.noisy_odometry(rid, drift=drift)
+    return router, clock, world, nodes, handlers, odom
+
+
+def drive_pipeline(router, nodes, world, odom, detection_rounds=4):
+    n_robots = len(nodes)
+    n_poses = world.n_poses
+    # 1. feed keyframes: descriptor + odometry per keyframe
+    for kf in range(n_poses):
+        for rid, node in nodes.items():
+            node.detection.add_global_descriptor_to_map(
+                world.descriptor(rid, kf), kf)
+            node.bus.publish(
+                "cslam/keyframe_odom",
+                msgs.KeyframeOdom(id=kf, pose=(odom[rid][0][kf],
+                                               odom[rid][1][kf])))
+        router.spin_until_idle()
+    # 2. gossip + detection rounds
+    for _ in range(detection_rounds):
+        for node in nodes.values():
+            node.tick_detection_publication()
+        router.spin_until_idle()
+        for node in nodes.values():
+            node.tick_inter_robot_detection()
+        router.spin_until_idle(max_rounds=500)
+
+
+def run_optimization(router, nodes, rounds=20):
+    for _ in range(rounds):
+        for node in nodes.values():
+            node.tick_optimization_start()
+        router.spin_until_idle()
+        for node in nodes.values():
+            node.tick_optimization_loop()
+        router.spin_until_idle()
+        for node in nodes.values():
+            be = node.backend
+            if be.optimizer_state == OptimizerState.OPTIMIZATION and \
+                    be._optimization_future is not None:
+                be._optimization_future.result(timeout=300)
+                be.check_result_and_finish_optimization()
+        router.spin_until_idle()
+        if any(n.backend.optimization_count > 0 for n in nodes.values()):
+            for node in nodes.values():
+                node.tick_optimization_loop()
+            router.spin_until_idle()
+            return
+    raise AssertionError("optimization never completed")
+
+
+def test_two_robot_full_pipeline():
+    router, clock, world, nodes, handlers, odom = build_swarm(
+        2, n_poses=24, drift=0.02)
+    drive_pipeline(router, nodes, world, odom)
+
+    # the broker (robot 0) selected candidates within budget and
+    # verification produced fixed edges
+    fixed = nodes[0].detection.lcm.candidate_selector.fixed_edges
+    assert len(fixed) > 0, "no verified inter-robot loop closures"
+    assert nodes[0].detection.log_total_matches_selected > 0
+    assert nodes[0].detection.log_total_vertices_transmitted > 0
+    # budget respected per detection round
+    assert nodes[0].detection.log_total_matches_selected <= 4 * 5
+
+    run_optimization(router, nodes)
+    assert nodes[0].backend.optimization_count >= 1
+
+    # ATE of robot 1 in the optimized estimates vs ground truth improves
+    # over raw drifted odometry
+    gt_R, gt_t = world.trajectories[1]
+    est = nodes[1].backend.current_pose_estimates
+    est_t = np.stack([est[(1, k)][1] for k in range(world.n_poses)])
+    raw_t = odom[1][1]
+    ate_raw = ate_rmse(raw_t, gt_t)
+    ate_opt = ate_rmse(est_t, gt_t)
+    assert ate_opt < ate_raw, (ate_opt, ate_raw)
+
+
+def test_three_robot_pipeline_with_comm_accounting():
+    router, clock, world, nodes, handlers, odom = build_swarm(
+        3, n_poses=16, drift=0.01)
+    drive_pipeline(router, nodes, world, odom, detection_rounds=3)
+    # gossip happened and comm accounting is non-zero
+    assert nodes[0].detection.log_detection_cumulative_communication > 0
+    # every robot knows descriptors from the others
+    for rid, node in nodes.items():
+        for other in range(3):
+            if other != rid:
+                assert len(node.detection.lcm.other_robots_nnsm[other]) > 0
+    run_optimization(router, nodes)
+    counts = [n.backend.optimization_count for n in nodes.values()]
+    assert sum(counts) >= 1
+    assert counts[0] >= 1  # lowest id is optimizer
+
+
+def test_broker_switches_on_heartbeat_loss():
+    router, clock, world, nodes, handlers, odom = build_swarm(
+        2, n_poses=8, drift=0.0)
+    # enable monitoring for this scenario
+    for rid, node in nodes.items():
+        params = make_params(rid, 2)
+        for mon in node.detection.neighbor_manager.neighbors_monitors.values():
+            mon.is_enabled = True
+            mon.init_delay_sec = 0.5
+            mon.max_delay_sec = 2.0
+    # both alive: robot 0 is broker
+    for _ in range(3):
+        for node in nodes.values():
+            node.tick_heartbeat()
+        router.spin_until_idle()
+        clock.advance(1.0)
+    assert nodes[0].detection.neighbor_manager.local_robot_is_broker()
+    assert not nodes[1].detection.neighbor_manager.local_robot_is_broker()
+    # robot 0 goes silent: robot 1 takes over
+    clock.advance(5.0)
+    nodes[1].tick_heartbeat()
+    router.spin_until_idle()
+    assert nodes[1].detection.neighbor_manager.local_robot_is_broker()
