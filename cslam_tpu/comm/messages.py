@@ -245,6 +245,78 @@ class LocalPointCloudDescriptors(Message):
 
 
 @dataclass
+class LocalImageDescriptors(Message):
+    """Keyframe local features for visual geometric verification
+    (reference LocalImageDescriptors: keypoints + fp16 descriptors + 3D
+    points, rgbd_handler.cpp:566-590; descriptors travel as float16 to
+    halve comm volume exactly like the reference)."""
+    robot_id: int = 0
+    keyframe_id: int = 0
+    matches_robot_id: List[int] = field(default_factory=list)
+    matches_keyframe_id: List[int] = field(default_factory=list)
+    keypoints: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 2), np.float32))
+    descriptors: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0), np.float16))
+    points3d: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 3), np.float32))
+
+    def to_bytes(self):
+        buf = io.BytesIO()
+        buf.write(struct.pack("<ii", self.robot_id, self.keyframe_id))
+        _pack_ints(buf, self.matches_robot_id)
+        _pack_ints(buf, self.matches_keyframe_id)
+        _pack_array(buf, self.keypoints)
+        desc = np.ascontiguousarray(self.descriptors, dtype=np.float16)
+        buf.write(struct.pack("<II", desc.shape[0],
+                              desc.shape[1] if desc.ndim > 1 else 0))
+        buf.write(desc.tobytes())
+        _pack_array(buf, self.points3d)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data):
+        buf = io.BytesIO(data)
+        rid, kid = struct.unpack("<ii", buf.read(8))
+        mrid = _unpack_ints(buf)
+        mkid = _unpack_ints(buf)
+        kps = _unpack_array(buf).reshape(-1, 2)
+        rows, cols = struct.unpack("<II", buf.read(8))
+        desc = np.frombuffer(buf.read(2 * rows * cols),
+                             dtype=np.float16).reshape(rows, cols).copy()
+        pts = _unpack_array(buf).reshape(-1, 3)
+        return cls(robot_id=rid, keyframe_id=kid, matches_robot_id=mrid,
+                   matches_keyframe_id=mkid, keypoints=kps,
+                   descriptors=desc, points3d=pts)
+
+
+@dataclass
+class KeyframeRGB(Message):
+    """Keyframe image for global-descriptor extraction (KeyframeRGB,
+    rgbd_handler.cpp:730-763). Image travels as raw bytes + shape."""
+    id: int = 0
+    height: int = 0
+    width: int = 0
+    channels: int = 0
+    image_bytes: bytes = b""
+    _FIELDS = [("id", "i"), ("height", "i"), ("width", "i"),
+               ("channels", "i"), ("image_bytes", "bytes")]
+
+    @property
+    def image(self) -> np.ndarray:
+        return np.frombuffer(self.image_bytes, dtype=np.uint8).reshape(
+            self.height, self.width, self.channels)
+
+    @classmethod
+    def from_image(cls, kf_id: int, image: np.ndarray):
+        image = np.ascontiguousarray(image, dtype=np.uint8)
+        if image.ndim == 2:
+            image = image[..., None]
+        return cls(id=kf_id, height=image.shape[0], width=image.shape[1],
+                   channels=image.shape[2], image_bytes=image.tobytes())
+
+
+@dataclass
 class Heartbeat(Message):
     origin_robot_id: int = 0
     _FIELDS = [("origin_robot_id", "i")]

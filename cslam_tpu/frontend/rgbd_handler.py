@@ -1,0 +1,269 @@
+"""RGBD/stereo sensor handler: keyframe gating, local features, visual
+loop-closure verification.
+
+Capability parity with the reference RGBDHandler / StereoHandler
+(/root/reference/src/front_end/rgbd_handler.cpp, stereo_handler.cpp):
+
+- sensor/odometry alignment queue (:458-489 — here the caller provides
+  synced samples; a max_queue_size buffer drops stale frames);
+- local descriptors per frame: keypoints + descriptors + 3D keypoints
+  (compute_local_descriptors :263-315) via the batched feature kernels
+  (ops/features.py) and depth backprojection;
+- keyframe gating: match the candidate frame against the previous
+  keyframe; a new keyframe is emitted when the inlier ratio drops below
+  keyframe_generation_ratio_threshold (generate_new_keyframe :414-456;
+  ratio >= 1.0 keeps every frame, matching the reference default);
+- keyframe + odometry publication (send_keyframe :730-769): KeyframeRGB
+  to the global-descriptor stage and KeyframeOdom to the back-end;
+- LocalDescriptorsRequest -> LocalImageDescriptors broadcast with fp16
+  descriptors (:561-590);
+- inter-robot verification on receive (receive_local_image_descriptors
+  :657-726) and intra-robot verification (receive_local_keyframe_match
+  :593-646) through mutual matching + batched 3D RANSAC
+  (ops/matching2d.py), publishing Inter/IntraRobotLoopClosure with the
+  between-measurement X_self^-1 X_other.
+
+The stereo variant reuses this handler with depth from disparity
+(stereo_handler.cpp computes a stereo camera model then follows the
+RGBD path).
+"""
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from cslam_tpu.comm import messages as msgs
+from cslam_tpu.ops import features, matching2d
+
+
+@dataclass
+class CameraIntrinsics:
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    baseline: float = 0.0  # stereo only
+
+
+@dataclass
+class LocalKeyframe:
+    id: int
+    keypoints: np.ndarray    # (K, 2)
+    descriptors: np.ndarray  # (K, D)
+    points3d: np.ndarray     # (K, 3) camera frame
+    mask: np.ndarray         # (K,)
+    pose: Tuple[np.ndarray, np.ndarray]  # odometry pose at keyframe
+
+
+class RGBDHandler:
+
+    def __init__(self, params: Dict, bus, clock, max_keypoints: int = 256):
+        self.params = params
+        self.bus = bus
+        self.clock = clock
+        self.robot_id = params["robot_id"]
+        self.max_keypoints = max_keypoints
+        self.max_queue_size = params.get("frontend.max_queue_size", 10)
+        self.keyframe_ratio = params.get(
+            "frontend.keyframe_generation_ratio_threshold", 1.0)
+        self.min_inliers = params.get("frontend.pnp_min_inliers", 6)
+        self.nb_local_keyframes = 0
+        self.local_keyframes: Dict[int, LocalKeyframe] = {}
+        self.previous_keyframe: Optional[LocalKeyframe] = None
+        self.received_queue: List[Tuple] = []
+        self.log_local_descriptors_cumulative_communication = 0
+
+        self.keyframe_publisher = bus.create_publisher("cslam/keyframe_data")
+        self.odom_publisher = bus.create_publisher("cslam/keyframe_odom")
+        self.intra_lc_publisher = bus.create_publisher(
+            "cslam/intra_robot_loop_closure")
+        self.inter_lc_publisher = bus.create_publisher(
+            "/cslam/inter_robot_loop_closure")
+        self.local_descriptors_publisher = bus.create_publisher(
+            "/cslam/local_descriptors")
+        bus.subscribe("cslam/local_descriptors_request",
+                      self.local_descriptors_request)
+        bus.subscribe("/cslam/local_descriptors",
+                      self.receive_local_image_descriptors)
+        bus.subscribe("cslam/local_keyframe_match",
+                      self.receive_local_keyframe_match)
+
+    # ------------------------------------------------------------------
+    def add_sensor_data(self, image: np.ndarray, depth: np.ndarray,
+                        intrinsics: CameraIntrinsics,
+                        pose: Tuple[np.ndarray, np.ndarray]):
+        """Queue one synced (image, depth, odom) sample; drops the oldest
+        beyond max_queue_size (reference capped imagery queues
+        :249-252)."""
+        self.received_queue.append((image, depth, intrinsics, pose))
+        while len(self.received_queue) > self.max_queue_size:
+            self.received_queue.pop(0)
+
+    def add_stereo_data(self, left: np.ndarray, disparity: np.ndarray,
+                        intrinsics: CameraIntrinsics,
+                        pose: Tuple[np.ndarray, np.ndarray]):
+        """Stereo path: depth = fx * baseline / disparity
+        (stereo_handler.cpp camera model)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            depth = np.where(disparity > 0.1,
+                             intrinsics.fx * intrinsics.baseline /
+                             np.maximum(disparity, 0.1), 0.0)
+        self.add_sensor_data(left, depth.astype(np.float32), intrinsics,
+                             pose)
+
+    def compute_local_descriptors(self, image, depth,
+                                  intrinsics: CameraIntrinsics):
+        """Keypoints + descriptors + 3D backprojection (reference
+        :263-315)."""
+        img = jnp.asarray(
+            np.asarray(image, dtype=np.float32) / 255.0
+            if np.asarray(image).dtype == np.uint8 else image,
+            dtype=jnp.float32)
+        if img.ndim == 3:
+            img = jnp.mean(img, axis=-1)
+        xy, desc, scores, mask = features.extract_features(
+            img, max_keypoints=self.max_keypoints)
+        xs = np.clip(np.asarray(xy[:, 0]).astype(np.int32), 0,
+                     depth.shape[1] - 1)
+        ys = np.clip(np.asarray(xy[:, 1]).astype(np.int32), 0,
+                     depth.shape[0] - 1)
+        z = np.asarray(depth)[ys, xs].astype(np.float32)
+        valid_depth = (z > 0.05) & np.isfinite(z)
+        mask = np.asarray(mask) * valid_depth
+        pts3d = np.asarray(
+            features.backproject(xy, jnp.asarray(z), intrinsics.fx,
+                                 intrinsics.fy, intrinsics.cx,
+                                 intrinsics.cy))
+        return (np.asarray(xy), np.asarray(desc), pts3d,
+                mask.astype(np.float32))
+
+    def _verify(self, kf_a: LocalKeyframe, desc_b, pts_b, mask_b, seed=0):
+        """Match + robust 3D alignment; returns (RansacResult, n_matches).
+        Pose maps frame-a points into frame b."""
+        return matching2d.verify_keyframe_pair(
+            jnp.asarray(kf_a.descriptors), jnp.asarray(kf_a.points3d),
+            jnp.asarray(kf_a.mask), jnp.asarray(desc_b),
+            jnp.asarray(pts_b), jnp.asarray(mask_b),
+            min_inliers=self.min_inliers, seed=seed)
+
+    def generate_new_keyframe(self, candidate: LocalKeyframe) -> bool:
+        """Keyframe when tracking against the previous keyframe is weak
+        (reference :414-456)."""
+        if self.keyframe_ratio >= 1.0 or self.previous_keyframe is None:
+            return True
+        result, _ = self._verify(self.previous_keyframe,
+                                 candidate.descriptors,
+                                 candidate.points3d, candidate.mask)
+        n_valid = max(float(np.asarray(candidate.mask).sum()), 1.0)
+        inlier_ratio = float(result.num_inliers) / n_valid
+        return inlier_ratio < self.keyframe_ratio
+
+    def process_new_sensor_data(self):
+        """Processing tick (MapManager timer, map_manager.cpp:17-19):
+        newest frame wins, stale ones drop (reference :458-489)."""
+        if not self.received_queue:
+            return None
+        image, depth, intrinsics, pose = self.received_queue.pop()
+        self.received_queue.clear()
+        xy, desc, pts3d, mask = self.compute_local_descriptors(
+            image, depth, intrinsics)
+        candidate = LocalKeyframe(self.nb_local_keyframes, xy, desc, pts3d,
+                                  mask, pose)
+        if not self.generate_new_keyframe(candidate):
+            return None
+        self.local_keyframes[candidate.id] = candidate
+        self.previous_keyframe = candidate
+        self.nb_local_keyframes += 1
+        self.send_keyframe(candidate, image)
+        return candidate.id
+
+    def send_keyframe(self, kf: LocalKeyframe, image):
+        """Publish keyframe image + odometry (reference :730-769)."""
+        self.keyframe_publisher.publish(
+            msgs.KeyframeRGB.from_image(kf.id, np.asarray(image)))
+        self.odom_publisher.publish(
+            msgs.KeyframeOdom(id=kf.id, pose=kf.pose))
+
+    # ------------------------------------------------------------------
+    def local_descriptors_request(self, request):
+        """Broadcast fp16 local descriptors (reference :561-590)."""
+        kf = self.local_keyframes.get(request.keyframe_id)
+        if kf is None:
+            return
+        msg = msgs.LocalImageDescriptors(
+            robot_id=self.robot_id, keyframe_id=kf.id,
+            matches_robot_id=list(request.matches_robot_id),
+            matches_keyframe_id=list(request.matches_keyframe_id),
+            keypoints=kf.keypoints,
+            descriptors=kf.descriptors.astype(np.float16),
+            points3d=kf.points3d)
+        self.local_descriptors_publisher.publish(msg)
+        # comm accounting (reference 28 B/kpt + 12 B/pt + 1 B/desc byte,
+        # rgbd_handler.cpp:581-589)
+        self.log_local_descriptors_cumulative_communication += (
+            28 * len(kf.keypoints) + 12 * len(kf.points3d) +
+            kf.descriptors.size * 2)
+
+    def receive_local_image_descriptors(self,
+                                        msg: msgs.LocalImageDescriptors):
+        """Verify candidates addressed to me (reference :657-726)."""
+        if msg.robot_id == self.robot_id:
+            return
+        for rid, kid in zip(msg.matches_robot_id, msg.matches_keyframe_id):
+            if rid != self.robot_id:
+                continue
+            kf = self.local_keyframes.get(kid)
+            if kf is None:
+                continue
+            mask_b = np.ones(len(msg.points3d), dtype=np.float32)
+            result, _ = self._verify(kf, msg.descriptors.astype(np.float32),
+                                     msg.points3d, mask_b)
+            # result pose maps my frame -> sender frame; between
+            # measurement must be X_robot0^-1 X_robot1 with robot0 < robot1
+            R_mine_to_sender = np.asarray(result.R)
+            t_mine_to_sender = np.asarray(result.t)
+            # X_sender^-1 X_mine = T(sender<-mine)^... the estimated T maps
+            # my points into sender coordinates => T = X_sender^-1 X_mine.
+            if msg.robot_id < self.robot_id:
+                # robot0 = sender: need X_sender^-1 X_mine = T
+                pose = (R_mine_to_sender, t_mine_to_sender)
+                r0, k0, r1, k1 = msg.robot_id, msg.keyframe_id, \
+                    self.robot_id, kid
+            else:
+                # robot0 = me: need X_mine^-1 X_sender = T^-1
+                pose = (R_mine_to_sender.T,
+                        (-R_mine_to_sender.T @ t_mine_to_sender).astype(
+                            np.float32))
+                r0, k0, r1, k1 = self.robot_id, kid, msg.robot_id, \
+                    msg.keyframe_id
+            self.inter_lc_publisher.publish(
+                msgs.InterRobotLoopClosure(
+                    robot0_id=r0, robot0_keyframe_id=k0, robot1_id=r1,
+                    robot1_keyframe_id=k1, success=bool(result.success),
+                    pose=pose))
+
+    def receive_local_keyframe_match(self, msg: msgs.LocalKeyframeMatch):
+        """Intra-robot verification (reference :593-646)."""
+        kf0 = self.local_keyframes.get(msg.keyframe0_id)
+        kf1 = self.local_keyframes.get(msg.keyframe1_id)
+        if kf0 is None or kf1 is None:
+            return
+        result, _ = self._verify(kf0, kf1.descriptors, kf1.points3d,
+                                 kf1.mask)
+        # estimated T maps kf0 camera points into kf1 camera frame:
+        # T = X_1^-1 X_0; between measurement X_0^-1 X_1 = T^-1
+        R = np.asarray(result.R)
+        t = np.asarray(result.t)
+        self.intra_lc_publisher.publish(
+            msgs.IntraRobotLoopClosure(
+                keyframe0_id=msg.keyframe0_id,
+                keyframe1_id=msg.keyframe1_id,
+                success=bool(result.success),
+                pose=(R.T, (-R.T @ t).astype(np.float32))))
+
+
+class StereoHandler(RGBDHandler):
+    """Stereo variant: same pipeline with disparity-derived depth
+    (reference stereo_handler.cpp subclassing RGBDHandler)."""
