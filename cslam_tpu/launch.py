@@ -1,0 +1,208 @@
+"""Swarm launcher: spawn per-robot processes over the native TCP bus.
+
+The equivalent of the reference's launch graphs
+(/root/reference/launch/cslam.launch.py — per-robot composed containers
+with robot_id / max_nb_robots / config args). Each robot process runs a
+SwarmNode (loop-closure detection + decentralized PGO) with wall-clock
+timers at the configured periods; `--sim` drives the synthetic world so
+a full mission runs with zero external input:
+
+    python -m cslam_tpu.launch --robots 3 --duration 20 --sim
+
+Processes communicate only through the C++ TCP bus (no shared memory),
+so the same command line distributes across hosts with --hosts.
+"""
+
+import argparse
+import multiprocessing as mp
+import os
+import sys
+import time
+
+
+def robot_main(robot_id: int, args):
+    # each robot is an independent process: keep JAX on CPU here unless a
+    # TPU is attached; math-heavy robots can pin chips via env.
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+    from cslam_tpu.comm import messages as msgs
+    from cslam_tpu.comm.bus import WallClock
+    from cslam_tpu.config import SwarmConfig, default_params
+    from cslam_tpu.frontend.sim import SimSensorHandler, SyntheticWorld
+    from cslam_tpu.node import SwarmNode
+    from cslam_tpu.runtime.native import NativeBus, NativeLogger
+
+    if args.config:
+        cfg = SwarmConfig.from_yaml(args.config, robot_id=robot_id)
+        cfg.max_nb_robots = args.robots
+        params = cfg.to_flat_dict()
+    else:
+        params = default_params(**{
+            "robot_id": robot_id,
+            "max_nb_robots": args.robots,
+            "frontend.similarity_threshold": 0.5,
+            "frontend.detection_publication_period_sec": 0.5,
+            "frontend.inter_robot_detection_period_sec": 2.0,
+            "neighbor_management.enable_neighbor_monitoring": True,
+            "neighbor_management.init_delay_sec": 0.5,
+            "neighbor_management.heartbeat_period_sec": 0.25,
+        })
+
+    clock = WallClock()
+    bus = NativeBus(robot_id, args.robots, base_port=args.base_port,
+                    hosts=args.hosts)
+    # typed subscription routing for the native bus
+    _wire_native_types(bus)
+    logger = None
+    if args.log_folder:
+        logger = NativeLogger(os.path.join(args.log_folder,
+                                           f"robot{robot_id}"))
+
+    world = None
+    handler = None
+    descriptor_model = None
+    if args.sim:
+        world = SyntheticWorld(args.robots, args.sim_poses, seed=args.seed)
+
+        class _SimModel:
+            def compute_embedding(self, kf_id):
+                return world.descriptor(robot_id, kf_id)
+
+        descriptor_model = _SimModel()
+
+    node = SwarmNode(params, bus, clock, descriptor_model=descriptor_model,
+                     logger=logger)
+    if args.sim:
+        handler = SimSensorHandler(params, bus, world)
+        odom_R, odom_t = world.noisy_odometry(robot_id, drift=args.sim_drift)
+
+    periods = {
+        "publication": params["frontend.detection_publication_period_sec"],
+        "detection": params["frontend.inter_robot_detection_period_sec"],
+        "heartbeat": params["neighbor_management.heartbeat_period_sec"],
+        "opt_start":
+            params["backend.pose_graph_optimization_start_period_ms"] / 1e3,
+        "opt_loop":
+            params["backend.pose_graph_optimization_loop_period_ms"] / 1e3,
+    }
+    last = {k: 0.0 for k in periods}
+    next_kf = 0
+    kf_period = args.sim_kf_period
+    last_kf = 0.0
+
+    start = time.monotonic()
+    while time.monotonic() - start < args.duration:
+        now = time.monotonic()
+        bus.spin_once(timeout_ms=10)
+        if args.sim and next_kf < args.sim_poses and \
+                now - last_kf >= kf_period:
+            node.detection.add_global_descriptor_to_map(
+                world.descriptor(robot_id, next_kf), next_kf)
+            bus.publish("cslam/keyframe_odom",
+                        msgs.KeyframeOdom(id=next_kf,
+                                          pose=(odom_R[next_kf],
+                                                odom_t[next_kf])))
+            next_kf += 1
+            last_kf = now
+        for name, tick in (
+                ("publication", node.tick_detection_publication),
+                ("detection", node.tick_inter_robot_detection),
+                ("heartbeat", node.tick_heartbeat),
+                ("opt_start", node.tick_optimization_start),
+                ("opt_loop", node.tick_optimization_loop)):
+            if now - last[name] >= periods[name]:
+                tick()
+                last[name] = now
+
+    n_est = len(node.backend.current_pose_estimates)
+    n_fixed = len(node.detection.lcm.candidate_selector.fixed_edges)
+    print(f"[r{robot_id}] done: {next_kf} keyframes, {n_fixed} verified "
+          f"loop closures, {node.backend.optimization_count} optimizations, "
+          f"{n_est} optimized estimates, "
+          f"comm tx={bus.sent_bytes}B rx={bus.received_bytes}B",
+          flush=True)
+    if logger is not None:
+        logger.log_info("nb_keyframes", next_kf)
+        logger.log_info("nb_fixed_loop_closures", n_fixed)
+        logger.log_info("comm_sent_bytes", bus.sent_bytes)
+        logger.write_logs()
+        logger.close()
+    bus.close()
+    return 0
+
+
+def _wire_native_types(bus):
+    """Register message types per topic family for deserialization."""
+    from cslam_tpu.comm import messages as msgs
+    orig_subscribe = bus.subscribe
+    topic_types = {
+        "cslam/heartbeat": msgs.Heartbeat,
+        "cslam/keyframe_odom": msgs.KeyframeOdom,
+        "cslam/get_current_neighbors": None,
+        "cslam/current_neighbors": msgs.RobotIdsAndOrigin,
+        "cslam/get_pose_graph": msgs.RobotIds,
+        "cslam/pose_graph": msgs.PoseGraph,
+        "cslam/optimized_estimates": msgs.OptimizationResult,
+        "cslam/global_descriptors": msgs.GlobalDescriptors,
+        "cslam/inter_robot_matches": msgs.InterRobotMatches,
+        "cslam/inter_robot_loop_closure": msgs.InterRobotLoopClosure,
+        "cslam/intra_robot_loop_closure": msgs.IntraRobotLoopClosure,
+        "cslam/local_keyframe_match": msgs.LocalKeyframeMatch,
+        "cslam/local_descriptors_request": msgs.LocalDescriptorsRequest,
+        "cslam/sim_local_descriptors": msgs.LocalDescriptorsRequest,
+        "cslam/local_descriptors": msgs.LocalImageDescriptors,
+        "cslam/processed_global_descriptor": msgs.GlobalDescriptor,
+        "cslam/print_current_estimates": None,
+    }
+
+    def subscribe(topic, callback, msg_type="auto"):
+        if msg_type == "auto":
+            suffix = topic.split("cslam/")[-1]
+            msg_type = topic_types.get(f"cslam/{suffix}")
+        orig_subscribe(topic, callback, msg_type)
+
+    bus.subscribe = subscribe
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--robots", type=int, default=2)
+    parser.add_argument("--config", type=str, default="")
+    parser.add_argument("--duration", type=float, default=20.0)
+    parser.add_argument("--base-port", type=int, default=17700)
+    parser.add_argument("--hosts", type=str, default="",
+                        help="comma-separated IPv4 per robot id")
+    parser.add_argument("--log-folder", type=str, default="")
+    parser.add_argument("--platform", type=str, default="cpu")
+    parser.add_argument("--sim", action="store_true",
+                        help="drive the synthetic world")
+    parser.add_argument("--sim-poses", type=int, default=24)
+    parser.add_argument("--sim-drift", type=float, default=0.02)
+    parser.add_argument("--sim-kf-period", type=float, default=0.2)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--robot-id", type=int, default=-1,
+                        help="run a single robot in this process "
+                             "(multi-host deployment)")
+    args = parser.parse_args(argv)
+
+    if args.robot_id >= 0:
+        return robot_main(args.robot_id, args)
+
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(target=robot_main, args=(rid, args))
+        for rid in range(args.robots)
+    ]
+    for p in procs:
+        p.start()
+    code = 0
+    for p in procs:
+        p.join()
+        code |= p.exitcode or 0
+    return code
+
+
+if __name__ == "__main__":
+    sys.exit(main())

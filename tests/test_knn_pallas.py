@@ -1,0 +1,84 @@
+"""Pallas fused kNN kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.ops import knn
+
+
+def _pallas_interpret(data, n_valid, queries, k, tile_rows):
+    """Run the kernel in interpreter mode (no TPU on CI)."""
+    from jax.experimental import pallas as pl
+    from cslam_tpu.ops import knn_pallas
+    import functools
+
+    N, D = data.shape
+    B = queries.shape[0]
+    num_tiles = N // tile_rows
+    data_n = data / jnp.maximum(
+        jnp.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    queries_n = queries / jnp.maximum(
+        jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    from jax.experimental.pallas import tpu as pltpu
+    kernel = functools.partial(knn_pallas._knn_kernel, tile_rows=tile_rows,
+                               k=k, num_tiles=num_tiles)
+    idx, vals = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile_rows, D), lambda i: (i, 0)),
+            pl.BlockSpec((B, D), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, k), lambda i: (0, 0)),
+            pl.BlockSpec((B, k), lambda i: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, k), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+        ],
+        interpret=True,
+    )(jnp.asarray([n_valid], dtype=jnp.int32), data_n, queries_n)
+    return idx, vals
+
+
+@pytest.mark.parametrize("n_valid", [1, 100, 256, 500, 512])
+def test_pallas_knn_matches_xla(n_valid):
+    rng = np.random.default_rng(0)
+    N, D, B, k = 512, 128, 8, 5
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((B, D)).astype(np.float32)
+    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), n_valid,
+                                        jnp.asarray(queries), k)
+    idx, sims = _pallas_interpret(jnp.asarray(data), n_valid,
+                                  jnp.asarray(queries), k, tile_rows=128)
+    k_eff = min(k, n_valid)
+    np.testing.assert_allclose(np.asarray(sims)[:, :k_eff],
+                               np.asarray(ref_sims)[:, :k_eff], atol=1e-5)
+    # indices must agree where similarities are distinct
+    for b in range(B):
+        for j in range(k_eff):
+            if j + 1 < k_eff and abs(float(ref_sims[b, j]) -
+                                     float(ref_sims[b, j + 1])) < 1e-6:
+                continue
+            assert int(idx[b, j]) == int(ref_idx[b, j])
+
+
+def test_pallas_knn_multiple_tiles():
+    rng = np.random.default_rng(1)
+    N, D, B, k = 1024, 128, 4, 10
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    queries = data[[3, 77, 500, 1000]] + \
+        rng.standard_normal((4, D)).astype(np.float32) * 0.01
+    idx, sims = _pallas_interpret(jnp.asarray(data), N, jnp.asarray(queries),
+                                  k, tile_rows=256)
+    # each query's best match is its own source row
+    np.testing.assert_array_equal(np.asarray(idx)[:, 0], [3, 77, 500, 1000])
+    assert np.all(np.asarray(sims)[:, 0] > 0.99)
