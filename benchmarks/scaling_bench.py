@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Multi-chip scaling benchmark: sharded kNN + distributed PGO throughput
+vs mesh size (BASELINE.md: >= 0.8 scaling efficiency at 4 shards).
+
+Runs on whatever devices exist; with one real chip it uses N virtual CPU
+devices as the scaling proxy (run with JAX_PLATFORMS=cpu
+XLA_FLAGS=--xla_force_host_platform_device_count=8). Writes
+benchmarks/SCALING.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    import jax
+    import jax.numpy as jnp
+    from cslam_tpu.parallel import make_swarm_mesh
+    from cslam_tpu.parallel.sharded_knn import sharded_cosine_topk
+    from cslam_tpu.parallel import distributed_pgo
+    from cslam_tpu.backend import pgo
+    from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
+                                                diag_sqrt_info)
+    from cslam_tpu.ops import se3
+
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    results = {"platform": jax.devices()[0].platform, "knn": {}, "pgo": {}}
+
+    # ---- sharded kNN scaling ----
+    N, D, B, k = 32768, 256, 64, 10
+    data = jnp.asarray(rng.standard_normal((N, D)), dtype=jnp.float32)
+    queries = jnp.asarray(rng.standard_normal((B, D)), dtype=jnp.float32)
+    for shards in [1, 2, 4, 8]:
+        if shards > n_dev:
+            continue
+        mesh = make_swarm_mesh(shards)
+        idx, _ = sharded_cosine_topk(mesh, data, N, queries, k)
+        idx.block_until_ready()
+        t0 = time.perf_counter()
+        iters = 20
+        for _ in range(iters):
+            idx, _ = sharded_cosine_topk(mesh, data, N, queries, k)
+        idx.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        results["knn"][shards] = B / dt
+        print(f"knn shards={shards}: {B/dt:,.0f} q/s", file=sys.stderr)
+
+    # ---- distributed PGO scaling ----
+    n_poses = 256
+    fg = FactorGraph()
+    sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
+    for kk in range(n_poses - 1):
+        xi = rng.standard_normal(6).astype(np.float32) * 0.1
+        dR, dt_ = se3.se3_exp(jnp.asarray(xi))
+        fg.add_between(BetweenFactor((0, kk), (0, kk + 1), np.asarray(dR),
+                                     np.asarray(dt_), sq))
+    for _ in range(64):
+        i, j = sorted(rng.integers(0, n_poses, size=2).tolist())
+        if j - i < 2:
+            continue
+        fg.add_between(BetweenFactor((0, i), (0, j),
+                                     np.eye(3, dtype=np.float32),
+                                     np.zeros(3, dtype=np.float32), sq,
+                                     is_loop=True))
+    fg.set_prior((0, 0))
+    cfg = pgo.PGOConfig(lm_max_iters=3, cg_max_iters=15,
+                        gnc_max_outer_iters=2)
+    for shards in [1, 2, 4, 8]:
+        if shards > n_dev:
+            continue
+        mesh = make_swarm_mesh(shards)
+        g = fg.to_arrays(edge_bucket_multiple=shards)
+        res = distributed_pgo.distributed_gnc_optimize(mesh, g, cfg)
+        res.t.block_until_ready()
+        t0 = time.perf_counter()
+        iters = 3
+        for _ in range(iters):
+            res = distributed_pgo.distributed_gnc_optimize(mesh, g, cfg)
+        res.t.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        results["pgo"][shards] = 1.0 / dt
+        print(f"pgo shards={shards}: {dt*1e3:.1f} ms/solve", file=sys.stderr)
+
+    base = min(results["knn"])
+    results["knn_scaling_efficiency"] = {
+        s: results["knn"][s] / (results["knn"][base] * s / base)
+        for s in results["knn"]
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/SCALING.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results["knn_scaling_efficiency"]))
+
+
+if __name__ == "__main__":
+    main()

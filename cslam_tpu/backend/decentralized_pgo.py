@@ -158,6 +158,12 @@ class DecentralizedPGO:
             self.local_factors.append(
                 BetweenFactor(self.latest_local_key, key, diff[0], diff[1],
                               diag_sqrt_info(DEFAULT_NOISE_STD)))
+        if self.params.get("evaluation.enable_gps_recording", False) and \
+                self.logger is not None and hasattr(msg, "gps"):
+            gps = np.asarray(msg.gps)
+            if gps.size >= 3:
+                self.logger.log_gps(msg.id, float(gps[0]), float(gps[1]),
+                                    float(gps[2]))
         self.latest_local_pose = pose
         self.latest_local_key = key
 

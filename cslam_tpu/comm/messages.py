@@ -208,10 +208,15 @@ class IntraRobotLoopClosure(Message):
 
 @dataclass
 class KeyframeOdom(Message):
+    """Keyframe odometry; optional GPS fix rides along
+    (reference KeyframeOdom carries odom + gps, decentralized_pgo
+    gps_data_ recording :284-287)."""
     id: int = 0
     pose: Tuple[np.ndarray, np.ndarray] = field(
         default_factory=_identity_pose)
-    _FIELDS = [("id", "i"), ("pose", "pose")]
+    gps: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, np.float32))  # lat, lon, alt
+    _FIELDS = [("id", "i"), ("pose", "pose"), ("gps", "floats")]
 
 
 @dataclass
