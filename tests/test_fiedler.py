@@ -1,0 +1,89 @@
+"""Fiedler solvers: dense (deflated eigh) vs matrix-free LOBPCG, and the
+Laplacian assembly ops."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.ops import fiedler, laplacian
+from cslam_tpu.sparsification.mac import _fiedler_dense
+
+
+def random_connected_graph(rng, n, extra_edges=20):
+    e_i = list(range(n - 1))
+    e_j = list(range(1, n))
+    w = [1.0] * (n - 1)
+    for _ in range(extra_edges):
+        a, b = rng.choice(n, 2, replace=False)
+        e_i.append(int(a))
+        e_j.append(int(b))
+        w.append(float(rng.random()) + 0.1)
+    return (np.array(e_i, np.int32), np.array(e_j, np.int32),
+            np.array(w, np.float32))
+
+
+def test_laplacian_assembly_matches_numpy():
+    rng = np.random.default_rng(0)
+    n = 16
+    e_i, e_j, w = random_connected_graph(rng, n, 10)
+    L = np.asarray(laplacian.laplacian_dense(jnp.asarray(e_i),
+                                             jnp.asarray(e_j),
+                                             jnp.asarray(w), n))
+    ref = np.zeros((n, n))
+    for a, b, ww in zip(e_i, e_j, w):
+        ref[a, a] += ww
+        ref[b, b] += ww
+        ref[a, b] -= ww
+        ref[b, a] -= ww
+    np.testing.assert_allclose(L, ref, atol=1e-6)
+    # matvec consistency
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(laplacian.laplacian_matvec(jnp.asarray(e_i),
+                                              jnp.asarray(e_j),
+                                              jnp.asarray(w),
+                                              jnp.asarray(x)))
+    np.testing.assert_allclose(y, ref @ x, atol=1e-4)
+
+
+def test_dense_fiedler_matches_scipy_style_reference():
+    rng = np.random.default_rng(1)
+    n, P = 24, 32
+    e_i, e_j, w = random_connected_graph(rng, n, 15)
+    L = np.zeros((P, P), dtype=np.float32)
+    for a, b, ww in zip(e_i, e_j, w):
+        L[a, a] += ww
+        L[b, b] += ww
+        L[a, b] -= ww
+        L[b, a] -= ww
+    mask = np.zeros(P, np.float32)
+    mask[:n] = 1.0
+    lam2, v = _fiedler_dense(jnp.asarray(L), jnp.asarray(mask))
+    # reference: full eigh of the unpadded Laplacian
+    vals, vecs = np.linalg.eigh(L[:n, :n].astype(np.float64))
+    np.testing.assert_allclose(float(lam2), vals[1], rtol=1e-3, atol=1e-5)
+    v = np.asarray(v)
+    # padded entries ~ 0; eigenvector matches up to sign
+    np.testing.assert_allclose(v[n:], 0.0, atol=1e-4)
+    vn = v[:n] / np.linalg.norm(v[:n])
+    ref = vecs[:, 1]
+    assert min(np.linalg.norm(vn - ref), np.linalg.norm(vn + ref)) < 1e-2
+
+
+def test_lobpcg_fiedler_matches_dense():
+    rng = np.random.default_rng(2)
+    n, P = 48, 64
+    e_i, e_j, w = random_connected_graph(rng, n, 30)
+    E = len(w)
+    mask = np.zeros(P, np.float32)
+    mask[:n] = 1.0
+    lam2_l, v_l = fiedler.fiedler_pair_lobpcg(
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(w),
+        jnp.asarray(mask), num_iters=200)
+    L = np.zeros((n, n))
+    for a, b, ww in zip(e_i, e_j, w):
+        L[a, a] += ww
+        L[b, b] += ww
+        L[a, b] -= ww
+        L[b, a] -= ww
+    vals, vecs = np.linalg.eigh(L)
+    np.testing.assert_allclose(float(lam2_l), vals[1], rtol=5e-2)
