@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Full-mission benchmark: 5-robot synthetic swarm end to end.
+
+Measures the BASELINE.md mission-level quantities on the synthetic world
+(the reference publishes no numbers and its KITTI configs need external
+datasets; this harness produces the same metric classes —
+ATE improvement, loop closures/s, sparsification + PGO wall time,
+communication volume — on a reproducible workload).
+
+Writes benchmarks/MISSION.json and prints a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_robots=5, n_poses=40, drift=0.02):
+    t_start = time.perf_counter()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_e2e_swarm import build_swarm, drive_pipeline, run_optimization
+    from cslam_tpu.utils.evaluation import ate_rmse
+
+    router, clock, world, nodes, handlers, odom = build_swarm(
+        n_robots, n_poses=n_poses, drift=drift, budget=8)
+    t_setup = time.perf_counter()
+
+    drive_pipeline(router, nodes, world, odom, detection_rounds=5)
+    t_pipeline = time.perf_counter()
+
+    run_optimization(router, nodes, rounds=30)
+    t_opt = time.perf_counter()
+
+    # metrics
+    n_fixed = sum(
+        len(n.detection.lcm.candidate_selector.fixed_edges)
+        for n in nodes.values()) // n_robots  # each robot sees all
+    comm_bytes = sum(n.detection.log_detection_cumulative_communication
+                     for n in nodes.values())
+    spars_time = max(n.detection.log_total_sparsification_computation_time
+                     for n in nodes.values())
+
+    ates_raw, ates_opt = [], []
+    for rid in range(n_robots):
+        gt_t = world.trajectories[rid][1]
+        est = nodes[rid].backend.current_pose_estimates
+        own = sorted(k for k in est if k[0] == rid)
+        if len(own) == n_poses:
+            est_t = np.stack([est[k][1] for k in own])
+            ates_opt.append(ate_rmse(est_t, gt_t))
+        ates_raw.append(ate_rmse(odom[rid][1], gt_t))
+
+    results = {
+        "n_robots": n_robots,
+        "n_poses_per_robot": n_poses,
+        "verified_loop_closures": n_fixed,
+        "pipeline_wall_s": t_pipeline - t_setup,
+        "optimization_wall_s": t_opt - t_pipeline,
+        "sparsification_compute_s": spars_time,
+        "gossip_comm_bytes": comm_bytes,
+        "ate_rmse_odometry": float(np.mean(ates_raw)),
+        "ate_rmse_optimized": float(np.mean(ates_opt)) if ates_opt else None,
+        "ate_improvement": float(np.mean(ates_raw) / np.mean(ates_opt))
+        if ates_opt else None,
+    }
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/MISSION.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
