@@ -25,25 +25,32 @@ def _log(msg):
 
 
 def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10,
-              iters=20):
+              iters=30):
+    """Steady-state throughput with distinct query batches per call and a
+    device sync every call (no dispatch-pipelining artifacts)."""
     rng = np.random.default_rng(0)
     cap = 1
     while cap < n_items:
         cap *= 2
     data = jnp.asarray(rng.standard_normal((cap, dim)), dtype=jnp.float32)
-    queries = jnp.asarray(rng.standard_normal((batch, dim)),
-                          dtype=jnp.float32)
+    query_pool = [
+        jnp.asarray(rng.standard_normal((batch, dim)), dtype=jnp.float32)
+        for _ in range(8)
+    ]
     # warmup/compile
-    idx, sims = knn.cosine_topk(data, n_items, queries, k)
+    idx, sims = knn.cosine_topk(data, n_items, query_pool[0], k)
     idx.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        idx, sims = knn.cosine_topk(data, n_items, queries, k)
-    idx.block_until_ready()
+    for it in range(iters):
+        idx, sims = knn.cosine_topk(data, n_items,
+                                    query_pool[it % len(query_pool)], k)
+        idx.block_until_ready()
     dt = time.perf_counter() - t0
     qps = iters * batch / dt
+    # sanity: implied DB read bandwidth per search
+    gbps = (cap * dim * 4) * iters / dt / 1e9
     _log(f"knn: {qps:.0f} queries/s (batch={batch}, {n_items}x{dim}, "
-         f"k={k}, {dt/iters*1e3:.2f} ms/batch)")
+         f"k={k}, {dt/iters*1e3:.3f} ms/batch, ~{gbps:.0f} GB/s db reads)")
     return qps
 
 
