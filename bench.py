@@ -77,14 +77,13 @@ def bench_mac(np_mod, iters=5):
     return dt
 
 
-def bench_pgo(iters=3):
+def bench_pgo(iters=3, n=1000):
     import jax.numpy as jnp
     from cslam_tpu.backend import pgo
     from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
                                                 diag_sqrt_info)
     from cslam_tpu.ops import se3
     rng = np.random.default_rng(2)
-    n = 1000
     fg = FactorGraph()
     sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
     for k in range(n - 1):
@@ -126,7 +125,8 @@ def main():
 
     qps = bench_knn(jnp, knn)
     mac_dt = bench_mac(np)
-    pgo_dt = bench_pgo()
+    pgo_dt = bench_pgo(n=1000)      # PCG path (6P > dense threshold)
+    pgo_dense_dt = bench_pgo(n=500)  # dense Cholesky path
 
     baseline_qps = 1.0 / 0.030  # nns_matching.py:44 — 30 ms per query
     detail = {
@@ -135,6 +135,7 @@ def main():
         "knn_vs_reference_cuda": qps / baseline_qps,
         "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
         "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
+        "pgo_gnc_lm_solve_ms_500poses_dense": pgo_dense_dt * 1e3,
     }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/BENCH_DETAIL.json", "w") as f:

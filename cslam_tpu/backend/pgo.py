@@ -58,6 +58,13 @@ class PGOConfig(NamedTuple):
     cg_max_iters: int = 50
     cg_tol: float = 1e-8
     gnc_on_loops_only: bool = True
+    # "pcg": matrix-free block-Jacobi PCG (O(E) memory, any size).
+    # "dense": scatter-assembled 6Px6P Cholesky — one large kernel
+    #   instead of ~cg_max_iters tiny matvecs; much faster on TPU for
+    #   small/medium graphs (launch-latency-bound regime).
+    # "auto": dense when 6P <= dense_threshold, else pcg.
+    linear_solver: str = "auto"
+    dense_threshold: int = 4096  # on 6P (i.e. P <= 682 poses)
 
 
 # ----------------------------------------------------------------------
@@ -114,8 +121,34 @@ def graph_cost(g: GraphArrays, R, t, weights):
 
 
 # ----------------------------------------------------------------------
-# Gauss-Newton normal equations: matvec + block-Jacobi PCG
+# Gauss-Newton normal equations: dense Cholesky or block-Jacobi PCG
 # ----------------------------------------------------------------------
+def _solve_normal_eqs_dense(g: GraphArrays, Ji, Jj, r, lam, Jp, rp):
+    """Scatter-assemble H = J^T J as a dense (6P, 6P) matrix and solve by
+    Cholesky — one MXU-sized kernel instead of a PCG loop. Right choice
+    when 6P fits comfortably in HBM (SURVEY §7 hard part 2: robots as
+    dense blocks)."""
+    P = g.R.shape[0]
+    H = jnp.zeros((P, P, 6, 6), dtype=r.dtype)
+    H = H.at[g.e_i, g.e_i].add(jnp.einsum("eoi,eoj->eij", Ji, Ji))
+    H = H.at[g.e_j, g.e_j].add(jnp.einsum("eoi,eoj->eij", Jj, Jj))
+    H = H.at[g.e_i, g.e_j].add(jnp.einsum("eoi,eoj->eij", Ji, Jj))
+    H = H.at[g.e_j, g.e_i].add(jnp.einsum("eoi,eoj->eij", Jj, Ji))
+    H = H.at[g.prior_idx, g.prior_idx].add(Jp.T @ Jp)
+    H6 = jnp.transpose(H, (0, 2, 1, 3)).reshape(6 * P, 6 * P)
+    H6 = H6 + lam * jnp.eye(6 * P, dtype=r.dtype)
+
+    b = jnp.zeros((P, 6), dtype=r.dtype)
+    b = b.at[g.e_i].add(jnp.einsum("eoi,eo->ei", Ji, r))
+    b = b.at[g.e_j].add(jnp.einsum("eoi,eo->ei", Jj, r))
+    b = b.at[g.prior_idx].add(Jp.T @ rp)
+    rhs = -b.reshape(6 * P)
+
+    L = jnp.linalg.cholesky(H6)
+    dx = jax.scipy.linalg.cho_solve((L, True), rhs)
+    return dx.reshape(P, 6) * g.node_mask[:, None]
+
+
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
     sqrt(weight)*mask (sw kept for the Hessian diag). Returns (P, 6)."""
@@ -207,7 +240,13 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig):
                              t[g.prior_idx], g.prior_weight)
         Jp = _prior_jac(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
                         t[g.prior_idx], g.prior_weight)
-        dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg)
+        use_dense = cfg.linear_solver == "dense" or (
+            cfg.linear_solver == "auto"
+            and 6 * g.R.shape[0] <= cfg.dense_threshold)
+        if use_dense:
+            dx = _solve_normal_eqs_dense(g, Ji_s, Jj_s, r_s, lam, Jp, rp)
+        else:
+            dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg)
         Rc, tc = _retract(R, t, dx, g.node_mask)
         cost_c = graph_cost(g, Rc, tc, weights)
         accept = cost_c < cost
