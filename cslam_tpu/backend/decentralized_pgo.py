@@ -74,10 +74,15 @@ class DecentralizedPGO:
         self.robot_id = params["robot_id"]
         self.max_nb_robots = params["max_nb_robots"]
         self.origin_robot_id = self.robot_id
-        self.optimizer_state = OptimizerState.IDLE
         self.pgo_config = pgo_config or pgo.PGOConfig()
-        self.max_waiting_time_sec = params.get("backend.max_waiting_time_sec",
-                                               60.0)
+        # State transitions + elections live in the C++ core
+        # (native/swarm_state.cpp), matching the reference's C++
+        # DecentralizedPGO control plane; this class feeds it events.
+        from cslam_tpu.runtime.native import NativeStateMachine
+        self._sm = NativeStateMachine(
+            self.robot_id, params.get("backend.max_waiting_time_sec", 60.0))
+        self._max_waiting_time_sec = params.get(
+            "backend.max_waiting_time_sec", 60.0)
 
         # local graph state
         self.odometry_pose_estimates: Dict[Tuple[int, int], Pose] = {}
@@ -98,8 +103,6 @@ class DecentralizedPGO:
         self.current_neighbors = msgs.RobotIdsAndOrigin()
         self.received_pose_graphs: Dict[int, msgs.PoseGraph] = {}
         self.received_connectivity: Dict[int, List[int]] = {}
-        self.is_waiting_flag = False
-        self.start_waiting_time = 0.0
         self.optimization_count = 0
 
         self._executor = ThreadPoolExecutor(max_workers=1)
@@ -197,29 +200,41 @@ class DecentralizedPGO:
             self.connected_robots.add(msg.robot0_id)
 
     # ------------------------------------------------------------------
-    # Election + collection
+    # Election + collection (decisions delegated to the C++ core)
     # ------------------------------------------------------------------
+    @property
+    def optimizer_state(self) -> OptimizerState:
+        return OptimizerState(self._sm.state)
+
+    @optimizer_state.setter
+    def optimizer_state(self, state):
+        self._sm.force(int(state))
+
+    @property
+    def max_waiting_time_sec(self) -> float:
+        return self._max_waiting_time_sec
+
+    @max_waiting_time_sec.setter
+    def max_waiting_time_sec(self, seconds: float):
+        self._max_waiting_time_sec = seconds
+        self._sm.set_max_waiting(seconds)
+
+    def _sync_sm(self):
+        self._sm.set_origin(self.origin_robot_id)
+        self._sm.set_has_odometry(bool(self.odometry_pose_estimates))
+        self._sm.set_neighbors(list(self.current_neighbors.ids),
+                               list(self.current_neighbors.origins))
+
     def is_optimizer(self) -> bool:
         """Lowest (origin, id) among neighbors, requiring odometry
-        (reference :394-415)."""
-        decision = True
-        for origin, rid in zip(self.current_neighbors.origins,
-                               self.current_neighbors.ids):
-            if self.origin_robot_id > origin:
-                decision = False
-            elif self.origin_robot_id == origin and self.robot_id > rid:
-                decision = False
-        if not self.odometry_pose_estimates:
-            decision = False
-        return decision
+        (reference :394-415; native/swarm_state.cpp)."""
+        self._sync_sm()
+        return self._sm.is_optimizer()
 
     def current_neighbors_callback(self, msg: msgs.RobotIdsAndOrigin):
         self.current_neighbors = msg
-        self.end_waiting()
-        if self.is_optimizer():
-            self.optimizer_state = OptimizerState.POSEGRAPH_COLLECTION
-        else:
-            self.optimizer_state = OptimizerState.IDLE
+        self._sync_sm()
+        self._sm.on_neighbors(list(msg.ids), list(msg.origins))
 
     def fill_pose_graph_msg(self, robot_ids: List[int]) -> msgs.PoseGraph:
         """Own odometry values + local factors + own-min-id inter-robot
@@ -265,9 +280,8 @@ class DecentralizedPGO:
         self.received_connectivity[msg.robot_id] = list(msg.connected_robots)
         if self.logger is not None:
             self.logger.add_pose_graph_log_info(msg)
-        if self.check_received_pose_graphs():
-            self.end_waiting()
-            self.optimizer_state = OptimizerState.START_OPTIMIZATION
+        # completeness check + transition handled by the C++ core
+        self._sm.on_pose_graph(msg.robot_id)
 
     def check_received_pose_graphs(self) -> bool:
         return all(rid in self.received_pose_graphs
@@ -373,11 +387,11 @@ class DecentralizedPGO:
         if self.logger is not None:
             self.logger.log_initial_global_pose_graph(fg)
         self._optimization_future = self._executor.submit(self._optimize, fg)
-        self.optimizer_state = OptimizerState.OPTIMIZATION
+        self._sm.on_optimization_started()
 
     def check_result_and_finish_optimization(self):
         if self._optimization_future is None:
-            self.optimizer_state = OptimizerState.IDLE
+            self._sm.on_optimization_done()
             return
         if not self._optimization_future.done():
             return
@@ -386,7 +400,7 @@ class DecentralizedPGO:
         self.optimization_count += 1
         if result is not None:
             self.share_optimized_estimates(fg)
-        self.optimizer_state = OptimizerState.IDLE
+        self._sm.on_optimization_done()
 
     def share_optimized_estimates(self, fg: FactorGraph):
         """Per-robot estimate extraction (reference :712-728)."""
@@ -440,25 +454,16 @@ class DecentralizedPGO:
         return (R, t)
 
     # ------------------------------------------------------------------
-    # Timers / state loop
+    # Timers / state loop (transitions in the C++ core)
     # ------------------------------------------------------------------
     def start_waiting(self):
-        if self.optimizer_state == OptimizerState.IDLE:
-            self.optimizer_state = OptimizerState.WAITING_FOR_NEIGHBORS_INFO
-        elif self.optimizer_state == OptimizerState.POSEGRAPH_COLLECTION:
-            self.optimizer_state = \
-                OptimizerState.WAITING_FOR_NEIGHBORS_POSEGRAPHS
-        self.is_waiting_flag = True
-        self.start_waiting_time = self.clock.now()
+        self._sm.start_waiting(self.clock.now())
 
     def end_waiting(self):
-        self.is_waiting_flag = False
+        self._sm.end_waiting()
 
     def check_waiting_timeout(self):
-        if self.clock.now() - self.start_waiting_time > \
-                self.max_waiting_time_sec:
-            self.end_waiting()
-            self.optimizer_state = OptimizerState.IDLE
+        self._sm.check_timeout(self.clock.now())
 
     def reinitialize_received_pose_graphs(self):
         self.received_pose_graphs = {}
@@ -470,27 +475,27 @@ class DecentralizedPGO:
                 self.odometry_pose_estimates:
             self.reinitialize_received_pose_graphs()
             self.get_current_neighbors_publisher.publish(b"")
-            self.start_waiting()
+            self._sm.start_waiting(self.clock.now())
 
     def optimization_loop_callback(self):
         """Loop-period tick (reference :943-985)."""
         if not self.odometry_pose_estimates:
             return
-        if self.optimizer_state == OptimizerState.POSEGRAPH_COLLECTION:
+        self._sync_sm()
+        state = self.optimizer_state
+        if state == OptimizerState.POSEGRAPH_COLLECTION:
             if len(self.current_neighbors.ids) > 0:
                 ids = list(self.current_neighbors.ids) + [self.robot_id]
                 for rid in self.current_neighbors.ids:
                     self.get_pose_graph_publishers[rid].publish(
                         msgs.RobotIds(ids=ids))
-                self.start_waiting()
-            else:
-                self.optimizer_state = OptimizerState.START_OPTIMIZATION
-        elif self.optimizer_state == OptimizerState.START_OPTIMIZATION:
+            self._sm.on_collection_tick(self.clock.now())
+        elif state == OptimizerState.START_OPTIMIZATION:
             self.start_optimization()
-        elif self.optimizer_state == OptimizerState.OPTIMIZATION:
+        elif state == OptimizerState.OPTIMIZATION:
             self.check_result_and_finish_optimization()
-        elif self.is_waiting_flag:
-            self.check_waiting_timeout()
+        elif self._sm.is_waiting():
+            self._sm.check_timeout(self.clock.now())
 
     def heartbeat_timer_callback(self):
         """Heartbeat gated by rendezvous (reference :730-741)."""

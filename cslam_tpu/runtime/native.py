@@ -75,6 +75,60 @@ def _load():
     lib.cslam_rendezvous_is_alive.argtypes = [ctypes.c_void_p,
                                               ctypes.c_double]
     lib.cslam_rendezvous_destroy.argtypes = [ctypes.c_void_p]
+    # state machine
+    lib.cslam_state_create.restype = ctypes.c_void_p
+    lib.cslam_state_create.argtypes = [ctypes.c_int, ctypes.c_double]
+    lib.cslam_state_destroy.argtypes = [ctypes.c_void_p]
+    for name in ("cslam_state_get", "cslam_state_is_optimizer",
+                 "cslam_state_is_waiting"):
+        getattr(lib, name).restype = ctypes.c_int
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.cslam_state_force.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cslam_state_set_origin.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cslam_state_set_max_waiting.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_double]
+    lib.cslam_state_set_has_odometry.argtypes = [ctypes.c_void_p,
+                                                 ctypes.c_int]
+    lib.cslam_state_is_broker.restype = ctypes.c_int
+    lib.cslam_state_is_broker.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_int),
+                                          ctypes.c_int]
+    lib.cslam_state_start_waiting.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_double]
+    lib.cslam_state_end_waiting.argtypes = [ctypes.c_void_p]
+    lib.cslam_state_check_timeout.restype = ctypes.c_int
+    lib.cslam_state_check_timeout.argtypes = [ctypes.c_void_p,
+                                              ctypes.c_double]
+    lib.cslam_state_on_neighbors.argtypes = [ctypes.c_void_p,
+                                             ctypes.POINTER(ctypes.c_int),
+                                             ctypes.POINTER(ctypes.c_int),
+                                             ctypes.c_int]
+    lib.cslam_state_set_neighbors.argtypes = \
+        lib.cslam_state_on_neighbors.argtypes
+    lib.cslam_state_on_pose_graph.restype = ctypes.c_int
+    lib.cslam_state_on_pose_graph.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cslam_state_on_collection_tick.restype = ctypes.c_int
+    lib.cslam_state_on_collection_tick.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_double]
+    lib.cslam_state_on_optimization_started.argtypes = [ctypes.c_void_p]
+    lib.cslam_state_on_optimization_done.argtypes = [ctypes.c_void_p]
+    # sensor synchronizer
+    lib.cslam_sync_create.restype = ctypes.c_void_p
+    lib.cslam_sync_create.argtypes = [ctypes.c_int, ctypes.c_double,
+                                      ctypes.c_int, ctypes.c_double]
+    lib.cslam_sync_destroy.argtypes = [ctypes.c_void_p]
+    lib.cslam_sync_push.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_double, ctypes.c_uint64]
+    lib.cslam_sync_push_odom.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                         ctypes.c_uint64]
+    lib.cslam_sync_take.restype = ctypes.c_int
+    lib.cslam_sync_take.argtypes = [ctypes.c_void_p,
+                                    ctypes.POINTER(ctypes.c_uint64),
+                                    ctypes.POINTER(ctypes.c_double)]
+    lib.cslam_sync_lookup_odom.restype = ctypes.c_int
+    lib.cslam_sync_lookup_odom.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                                           ctypes.POINTER(ctypes.c_uint64),
+                                           ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
 
@@ -214,6 +268,132 @@ class NativeLogger:
     def close(self):
         if self._handle:
             self._lib.cslam_logger_destroy(self._handle)
+            self._handle = None
+
+
+class NativeStateMachine:
+    """C++ optimizer state machine + elections (native/swarm_state.cpp),
+    the control core of the reference's C++ DecentralizedPGO."""
+
+    IDLE = 0
+    WAITING_FOR_NEIGHBORS_INFO = 1
+    POSEGRAPH_COLLECTION = 2
+    WAITING_FOR_NEIGHBORS_POSEGRAPHS = 3
+    START_OPTIMIZATION = 4
+    OPTIMIZATION = 5
+
+    def __init__(self, robot_id: int, max_waiting_time_sec: float):
+        self._lib = _load()
+        self._handle = self._lib.cslam_state_create(
+            robot_id, float(max_waiting_time_sec))
+
+    @property
+    def state(self) -> int:
+        return self._lib.cslam_state_get(self._handle)
+
+    def force(self, state: int):
+        self._lib.cslam_state_force(self._handle, int(state))
+
+    def set_origin(self, origin: int):
+        self._lib.cslam_state_set_origin(self._handle, origin)
+
+    def set_max_waiting(self, seconds: float):
+        self._lib.cslam_state_set_max_waiting(self._handle, float(seconds))
+
+    def set_has_odometry(self, has: bool):
+        self._lib.cslam_state_set_has_odometry(self._handle, 1 if has else 0)
+
+    def is_optimizer(self) -> bool:
+        return bool(self._lib.cslam_state_is_optimizer(self._handle))
+
+    def is_broker(self, alive_other_ids) -> bool:
+        arr = (ctypes.c_int * len(alive_other_ids))(*alive_other_ids)
+        return bool(self._lib.cslam_state_is_broker(self._handle, arr,
+                                                    len(alive_other_ids)))
+
+    def start_waiting(self, now: float):
+        self._lib.cslam_state_start_waiting(self._handle, now)
+
+    def end_waiting(self):
+        self._lib.cslam_state_end_waiting(self._handle)
+
+    def is_waiting(self) -> bool:
+        return bool(self._lib.cslam_state_is_waiting(self._handle))
+
+    def check_timeout(self, now: float) -> bool:
+        return bool(self._lib.cslam_state_check_timeout(self._handle, now))
+
+    def on_neighbors(self, ids, origins):
+        ids_arr = (ctypes.c_int * len(ids))(*ids)
+        org_arr = (ctypes.c_int * len(origins))(*origins)
+        self._lib.cslam_state_on_neighbors(self._handle, ids_arr, org_arr,
+                                           len(ids))
+
+    def set_neighbors(self, ids, origins):
+        ids_arr = (ctypes.c_int * len(ids))(*ids)
+        org_arr = (ctypes.c_int * len(origins))(*origins)
+        self._lib.cslam_state_set_neighbors(self._handle, ids_arr, org_arr,
+                                            len(ids))
+
+    def on_pose_graph(self, robot_id: int) -> bool:
+        return bool(self._lib.cslam_state_on_pose_graph(self._handle,
+                                                        robot_id))
+
+    def on_collection_tick(self, now: float) -> int:
+        return self._lib.cslam_state_on_collection_tick(self._handle, now)
+
+    def on_optimization_started(self):
+        self._lib.cslam_state_on_optimization_started(self._handle)
+
+    def on_optimization_done(self):
+        self._lib.cslam_state_on_optimization_done(self._handle)
+
+    def close(self):
+        if self._handle:
+            self._lib.cslam_state_destroy(self._handle)
+            self._handle = None
+
+
+class NativeSensorSync:
+    """C++ approximate-time synchronizer + odometry cache
+    (native/sensor_sync.cpp — the rgbd/stereo handler's C++ sync core).
+    Payloads are tracked as integer handles; the caller owns the data."""
+
+    def __init__(self, n_streams: int = 2, slop: float = 0.02,
+                 max_queue: int = 10, odom_slop: float = 0.03):
+        self._lib = _load()
+        self.n_streams = n_streams
+        self._handle = self._lib.cslam_sync_create(n_streams, slop,
+                                                   max_queue, odom_slop)
+
+    def push(self, stream: int, stamp: float, payload_id: int):
+        self._lib.cslam_sync_push(self._handle, stream, stamp, payload_id)
+
+    def push_odom(self, stamp: float, payload_id: int):
+        self._lib.cslam_sync_push_odom(self._handle, stamp, payload_id)
+
+    def take(self):
+        """Returns (stamp, [payload ids]) or None."""
+        handles = (ctypes.c_uint64 * self.n_streams)()
+        stamp = ctypes.c_double()
+        if self._lib.cslam_sync_take(self._handle, handles,
+                                     ctypes.byref(stamp)):
+            return stamp.value, list(handles)
+        return None
+
+    def lookup_odom(self, stamp: float):
+        """Nearest odom (payload_id, stamp) within the slop, else None."""
+        payload = ctypes.c_uint64()
+        out_stamp = ctypes.c_double()
+        if self._lib.cslam_sync_lookup_odom(self._handle, stamp,
+                                            ctypes.byref(payload),
+                                            ctypes.byref(out_stamp)):
+            return payload.value, out_stamp.value
+        return None
+
+    def close(self):
+        if self._handle:
+            self._lib.cslam_sync_destroy(self._handle)
             self._handle = None
 
 
