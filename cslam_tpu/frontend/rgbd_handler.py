@@ -101,6 +101,56 @@ class RGBDHandler:
         while len(self.received_queue) > self.max_queue_size:
             self.received_queue.pop(0)
 
+    # -- timestamped path through the C++ synchronizer ------------------
+    def _ensure_sync(self):
+        if not hasattr(self, "_sync"):
+            from cslam_tpu.runtime.native import NativeSensorSync
+            self._sync = NativeSensorSync(
+                n_streams=2, slop=0.02, max_queue=self.max_queue_size,
+                odom_slop=0.03)
+            self._payloads = {}
+            self._next_payload = 1
+
+    def _store_payload(self, obj) -> int:
+        self._payloads[self._next_payload] = obj
+        self._next_payload += 1
+        return self._next_payload - 1
+
+    def add_image(self, stamp: float, image: np.ndarray,
+                  intrinsics: CameraIntrinsics):
+        """Unsynced image stream (C++ approx-time sync,
+        rgbd_handler.cpp:180-186)."""
+        self._ensure_sync()
+        self._sync.push(0, stamp, self._store_payload((image, intrinsics)))
+        self._drain_sync()
+
+    def add_depth(self, stamp: float, depth: np.ndarray):
+        self._ensure_sync()
+        self._sync.push(1, stamp, self._store_payload(depth))
+        self._drain_sync()
+
+    def add_odometry(self, stamp: float,
+                     pose: Tuple[np.ndarray, np.ndarray]):
+        """Odometry cache for frame alignment (rgbd_handler.cpp:458-489)."""
+        self._ensure_sync()
+        self._sync.push_odom(stamp, self._store_payload(pose))
+
+    def _drain_sync(self):
+        """Move synchronized (image, depth) pairs with aligned odometry
+        into the processing queue."""
+        while True:
+            taken = self._sync.take()
+            if taken is None:
+                return
+            stamp, (img_id, depth_id) = taken
+            image, intrinsics = self._payloads.pop(img_id)
+            depth = self._payloads.pop(depth_id)
+            odom = self._sync.lookup_odom(stamp)
+            if odom is None:
+                continue  # no odometry within 30 ms: drop (reference :473)
+            pose = self._payloads[odom[0]]
+            self.add_sensor_data(image, depth, intrinsics, pose)
+
     def add_stereo_data(self, left: np.ndarray, disparity: np.ndarray,
                         intrinsics: CameraIntrinsics,
                         pose: Tuple[np.ndarray, np.ndarray]):
