@@ -26,28 +26,31 @@ def _log(msg):
 
 def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10,
               iters=30):
-    """Steady-state throughput with distinct query batches per call and a
-    device sync every call (no dispatch-pipelining artifacts)."""
+    """Steady-state throughput. Every timed call uses a distinct query
+    batch and syncs on its result: no dispatch pipelining and no
+    executable-level result memoization can inflate the number."""
     rng = np.random.default_rng(0)
     cap = 1
     while cap < n_items:
         cap *= 2
     data = jnp.asarray(rng.standard_normal((cap, dim)), dtype=jnp.float32)
+    norms = jnp.linalg.norm(data, axis=-1)
     query_pool = [
         jnp.asarray(rng.standard_normal((batch, dim)), dtype=jnp.float32)
-        for _ in range(8)
+        for _ in range(iters)
     ]
     # warmup/compile
-    idx, sims = knn.cosine_topk(data, n_items, query_pool[0], k)
+    idx, sims = knn.cosine_topk(data, n_items, query_pool[0], k,
+                                data_norms=norms)
     idx.block_until_ready()
     t0 = time.perf_counter()
     for it in range(iters):
-        idx, sims = knn.cosine_topk(data, n_items,
-                                    query_pool[it % len(query_pool)], k)
+        idx, sims = knn.cosine_topk(data, n_items, query_pool[it], k,
+                                    data_norms=norms)
         idx.block_until_ready()
     dt = time.perf_counter() - t0
     qps = iters * batch / dt
-    # sanity: implied DB read bandwidth per search
+    # sanity: implied DB read bandwidth per search (one pass with norms)
     gbps = (cap * dim * 4) * iters / dt / 1e9
     _log(f"knn: {qps:.0f} queries/s (batch={batch}, {n_items}x{dim}, "
          f"k={k}, {dt/iters*1e3:.3f} ms/batch, ~{gbps:.0f} GB/s db reads)")
@@ -65,12 +68,17 @@ def bench_mac(np_mod, iters=5):
              float(rng.random())) for _ in range(n_cand)
     ]
     mac = MAC(fixed, cand, n_poses)
-    w0 = np.zeros(n_cand, dtype=np.float32)
-    w0[np.argsort([e.weight for e in cand])[-k:]] = 1.0
-    mac.fw_subset(w0, k, max_iters=20)  # warmup/compile
+    # distinct w_init per timed call (defeats result memoization)
+    inits = []
+    for s in range(iters + 1):
+        w0 = np.zeros(n_cand, dtype=np.float32)
+        pick = np.random.default_rng(s).choice(n_cand, k, replace=False)
+        w0[pick] = 1.0
+        inits.append(w0)
+    mac.fw_subset(inits[-1], k, max_iters=20)  # warmup/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        mac.fw_subset(w0, k, max_iters=20)
+    for i in range(iters):
+        mac.fw_subset(inits[i], k, max_iters=20)
     dt = (time.perf_counter() - t0) / iters
     _log(f"mac: {dt*1e3:.1f} ms/solve ({n_poses} poses, {n_cand} candidates, "
          f"budget {k}, 20 FW iters)")
@@ -103,15 +111,23 @@ def bench_pgo(iters=3, n=1000):
     cfg = pgo.PGOConfig(lm_max_iters=10, cg_max_iters=50,
                         gnc_max_outer_iters=10)
     g = fg.to_arrays()
-    res = pgo.gnc_optimize(g, cfg)  # warmup/compile
+    # distinct initial estimates per timed call
+    import jax
+    variants = [
+        g._replace(t=g.t + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(s), g.t.shape))
+        for s in range(iters + 1)
+    ]
+    res = pgo.gnc_optimize(variants[-1], cfg)  # warmup/compile
     res.t.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        res = pgo.gnc_optimize(g, cfg)
-    res.t.block_until_ready()
+    for i in range(iters):
+        res = pgo.gnc_optimize(variants[i], cfg)
+        res.t.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     _log(f"pgo: {dt*1e3:.1f} ms/full GNC-LM solve ({n} poses, "
-         f"{fg.num_factors} factors)")
+         f"{fg.num_factors} factors, solver="
+         f"{'dense' if 6 * g.R.shape[0] <= cfg.dense_threshold else 'pcg'})")
     return dt
 
 

@@ -64,7 +64,9 @@ class PGOConfig(NamedTuple):
     #   small/medium graphs (launch-latency-bound regime).
     # "auto": dense when 6P <= dense_threshold, else pcg.
     linear_solver: str = "auto"
-    dense_threshold: int = 4096  # on 6P (i.e. P <= 682 poses)
+    # On TPU the dense Cholesky wins only for small blocks (the (P,P,6,6)
+    # scatter-assembly dominates beyond that); measured crossover ~P=256.
+    dense_threshold: int = 1536  # on 6P (i.e. P <= 256 poses)
 
 
 # ----------------------------------------------------------------------

@@ -20,7 +20,7 @@ NEG_INF = -jnp.inf
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def cosine_topk(data, n_valid, queries, k):
+def cosine_topk(data, n_valid, queries, k, data_norms=None):
     """Top-k cosine similarity of each query against data[:n_valid].
 
     Args:
@@ -29,6 +29,10 @@ def cosine_topk(data, n_valid, queries, k):
       n_valid: scalar int — number of valid rows.
       queries: (B, D) float32 query descriptors.
       k: static int — number of neighbors.
+      data_norms: optional (N_cap,) precomputed row norms. Passing them
+        (DescriptorDatabase maintains them incrementally) removes the
+        second full database read per search — the search becomes a
+        single HBM pass over the matrix.
 
     Returns:
       (indices, sims): (B, k) int32 row indices into data and (B, k)
@@ -37,11 +41,12 @@ def cosine_topk(data, n_valid, queries, k):
     """
     data = data.astype(jnp.float32)
     queries = queries.astype(jnp.float32)
-    data_norm = jnp.linalg.norm(data, axis=-1)
+    if data_norms is None:
+        data_norms = jnp.linalg.norm(data, axis=-1)
     q_norm = jnp.linalg.norm(queries, axis=-1)
     # MXU matmul: (B, D) @ (D, N) -> (B, N)
     dots = jnp.dot(queries, data.T, preferred_element_type=jnp.float32)
-    denom = jnp.maximum(q_norm[:, None] * data_norm[None, :], 1e-12)
+    denom = jnp.maximum(q_norm[:, None] * data_norms[None, :], 1e-12)
     sims = dots / denom
     row_ids = jnp.arange(data.shape[0], dtype=jnp.int32)
     sims = jnp.where(row_ids[None, :] < n_valid, sims, NEG_INF)
