@@ -19,10 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # scaling needs a multi-device mesh: unless CSLAM_SCALING_REAL is set
+    # (real multichip hardware), use the virtual CPU pool — the backend
+    # must be chosen before any device query.
+    if not os.environ.get("CSLAM_SCALING_REAL"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from cslam_tpu.parallel import make_swarm_mesh
     from cslam_tpu.parallel.sharded_knn import sharded_cosine_topk

@@ -35,8 +35,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from cslam_tpu.ops.fiedler import fiedler_pair_lobpcg
 from cslam_tpu.ops.laplacian import laplacian_dense
 from cslam_tpu.utils.edges import Edge
+
+# Above this node count the dense eigh Fiedler solve gives way to
+# matrix-free LOBPCG over edge lists (O(E) memory instead of O(P^2)).
+_LOBPCG_NODE_THRESHOLD = 2048
 
 class DisconnectedGraphError(RuntimeError):
     """Raised when the (fixed + selected-candidate) graph is disconnected."""
@@ -90,15 +95,30 @@ def _fiedler_dense(L, node_mask):
     return vals[0], vecs[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes"))
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes",
+                                             "use_lobpcg"))
 def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
-               duality_gap_tol, *, k, max_iters, num_nodes):
+               duality_gap_tol, fixed_e_i=None, fixed_e_j=None,
+               fixed_w=None, *, k, max_iters, num_nodes,
+               use_lobpcg=False):
     """Jitted Frank-Wolfe subset selection. Returns
-    (w_rounded, w_unrounded, upper_bound, disconnected_flag)."""
+    (w_rounded, w_unrounded, upper_bound).
 
-    def fiedler_at(w):
-        L = L_fixed + laplacian_dense(e_i, e_j, w * weights, num_nodes)
-        return _fiedler_dense(L, node_mask)
+    use_lobpcg: matrix-free Fiedler solve over the concatenated
+    (fixed + weighted-candidate) edge lists — for graphs too large for
+    dense eigh (SURVEY §7 hard part 1)."""
+
+    if use_lobpcg:
+        all_i = jnp.concatenate([fixed_e_i, e_i])
+        all_j = jnp.concatenate([fixed_e_j, e_j])
+
+        def fiedler_at(w):
+            all_w = jnp.concatenate([fixed_w, w * weights])
+            return fiedler_pair_lobpcg(all_i, all_j, all_w, node_mask)
+    else:
+        def fiedler_at(w):
+            L = L_fixed + laplacian_dense(e_i, e_j, w * weights, num_nodes)
+            return _fiedler_dense(L, node_mask)
 
     def round_topk(key_vec):
         _, idx = jax.lax.top_k(jnp.where(valid, key_vec, -jnp.inf), k)
@@ -153,8 +173,16 @@ class MAC:
         fw = np.zeros(max(len(fixed_measurements), 1), dtype=np.float32)
         for idx, e in enumerate(fixed_measurements):
             fi[idx], fj[idx], fw[idx] = e.i, e.j, e.weight
-        self.L_fixed = laplacian_dense(jnp.asarray(fi), jnp.asarray(fj),
-                                       jnp.asarray(fw), self._P)
+        self._fixed_i = jnp.asarray(fi)
+        self._fixed_j = jnp.asarray(fj)
+        self._fixed_w = jnp.asarray(fw)
+        self.use_lobpcg = self._P > _LOBPCG_NODE_THRESHOLD
+        if self.use_lobpcg:
+            # dense (P, P) Laplacians are off the table at this size
+            self.L_fixed = jnp.zeros((1, 1), dtype=jnp.float32)
+        else:
+            self.L_fixed = laplacian_dense(self._fixed_i, self._fixed_j,
+                                           self._fixed_w, self._P)
 
         self.e_i = np.zeros(self._E, dtype=np.int32)
         self.e_j = np.zeros(self._E, dtype=np.int32)
@@ -221,7 +249,9 @@ class MAC:
             jnp.asarray(self.weights), jnp.asarray(self.valid),
             self.node_mask, self._pad_w(w_init),
             jnp.float32(duality_gap_tol),
-            k=k, max_iters=max_iters, num_nodes=self._P)
+            self._fixed_i, self._fixed_j, self._fixed_w,
+            k=k, max_iters=max_iters, num_nodes=self._P,
+            use_lobpcg=self.use_lobpcg)
         return MACResult(np.asarray(w_rounded)[:self.m],
                          np.asarray(w)[:self.m], float(u))
 

@@ -1,0 +1,59 @@
+"""MAC matrix-free (LOBPCG) path for large graphs: consistency with the
+dense path and end-to-end selection on a >2048-node graph."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cslam_tpu.sparsification import mac as mac_mod
+from cslam_tpu.sparsification.mac import MAC
+from cslam_tpu.utils.edges import Edge
+
+
+def chain_with_candidates(rng, n_poses, n_cand):
+    fixed = [Edge(i, i + 1, 1.0) for i in range(n_poses - 1)]
+    cand = []
+    seen = set()
+    while len(cand) < n_cand:
+        i, j = sorted(rng.integers(0, n_poses, 2).tolist())
+        if j - i < 2 or (i, j) in seen:
+            continue
+        seen.add((i, j))
+        cand.append(Edge(i, j, float(rng.random()) + 0.1))
+    return fixed, cand
+
+
+def test_lobpcg_path_matches_dense_selection():
+    """Force both paths on the same medium graph; selections should
+    agree (the FW trajectory is identical up to eigensolver noise)."""
+    rng = np.random.default_rng(0)
+    fixed, cand = chain_with_candidates(rng, 120, 40)
+    k = 6
+    mac = MAC(fixed, cand, 120)
+    assert not mac.use_lobpcg
+    w0 = np.zeros(len(cand), np.float32)
+    w0[np.argsort([e.weight for e in cand])[-k:]] = 1.0
+    res_dense = mac.fw_subset(w0, k, max_iters=10)
+
+    mac.use_lobpcg = True  # force the matrix-free path
+    res_lobpcg = mac.fw_subset(w0, k, max_iters=10)
+    assert int(res_lobpcg.w.sum()) == k
+    # objective of the lobpcg selection is close to the dense one
+    mac.use_lobpcg = False
+    obj_dense = mac.evaluate_objective(res_dense.w)
+    obj_lobpcg = mac.evaluate_objective(res_lobpcg.w)
+    assert obj_lobpcg >= obj_dense * 0.8
+
+
+def test_large_graph_uses_lobpcg_and_selects():
+    rng = np.random.default_rng(1)
+    n_poses = 3000  # > _LOBPCG_NODE_THRESHOLD
+    fixed, cand = chain_with_candidates(rng, n_poses, 64)
+    k = 8
+    mac = MAC(fixed, cand, n_poses)
+    assert mac.use_lobpcg
+    w0 = np.zeros(len(cand), np.float32)
+    w0[np.argsort([e.weight for e in cand])[-k:]] = 1.0
+    res = mac.fw_subset(w0, k, max_iters=5)
+    assert int(res.w.sum()) == k
+    assert np.isfinite(res.upper_bound)
