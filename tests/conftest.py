@@ -21,6 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 # persistent compilation cache: the suite re-traces identical programs
 # every session; caching cuts wall time dramatically on re-runs
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+    os.path.abspath(__file__))), ".jax_cache", "cpu")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
