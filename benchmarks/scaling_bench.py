@@ -2,10 +2,14 @@
 """Multi-chip scaling benchmark: sharded kNN + distributed PGO throughput
 vs mesh size (BASELINE.md: >= 0.8 scaling efficiency at 4 shards).
 
-Runs on whatever devices exist; with one real chip it uses N virtual CPU
-devices as the scaling proxy (run with JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=8). Writes
-benchmarks/SCALING.json.
+IMPORTANT: meaningful throughput/efficiency numbers require REAL
+multi-chip hardware (set CSLAM_SCALING_REAL=1). On a single-chip or
+chip-less environment this falls back to N virtual CPU devices, where
+collectives serialize through one host — those runs validate that the
+sharded programs compile and execute at every mesh size (correctness /
+compile-coverage), not performance. Writes benchmarks/SCALING.json with
+a `virtual_devices` flag so downstream consumers don't misread proxy
+numbers as chip scaling.
 """
 
 import json
@@ -46,7 +50,15 @@ def main():
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", file=sys.stderr)
     rng = np.random.default_rng(0)
 
-    results = {"platform": jax.devices()[0].platform, "knn": {}, "pgo": {}}
+    results = {"platform": jax.devices()[0].platform,
+               "virtual_devices": not os.environ.get("CSLAM_SCALING_REAL"),
+               "knn": {}, "pgo": {}}
+
+    # virtual-device runs only need compile/exec coverage: tiny workloads
+    if results["virtual_devices"]:
+        knn_iters, pgo_iters = 2, 1
+    else:
+        knn_iters, pgo_iters = 20, 3
 
     # ---- sharded kNN scaling ----
     N, D, B, k = 32768, 256, 64, 10
@@ -59,7 +71,7 @@ def main():
         idx, _ = sharded_cosine_topk(mesh, data, N, queries, k)
         idx.block_until_ready()
         t0 = time.perf_counter()
-        iters = 20
+        iters = knn_iters
         for _ in range(iters):
             idx, _ = sharded_cosine_topk(mesh, data, N, queries, k)
         idx.block_until_ready()
@@ -97,7 +109,7 @@ def main():
         res = distributed_pgo.distributed_gnc_optimize(mesh, g, cfg)
         res.t.block_until_ready()
         t0 = time.perf_counter()
-        iters = 3
+        iters = pgo_iters
         for _ in range(iters):
             res = distributed_pgo.distributed_gnc_optimize(mesh, g, cfg)
         res.t.block_until_ready()
