@@ -375,7 +375,26 @@ class DecentralizedPGO:
             if result is not None:
                 self.logger.log_optimized_global_pose_graph(
                     fg, float(result.cost), self.robot_id)
+                self._log_loop_closure_errors(fg)
         return fg, result
+
+    def _log_loop_closure_errors(self, fg: FactorGraph):
+        """Post-optimization per-loop-closure and total errors (the
+        reference Logger's graph-error CSV fields, logger.cpp:137-151)."""
+        import numpy as np_
+        g = fg.to_arrays()
+        r = pgo.edge_residuals(g, g.R, g.t)
+        u = 0.5 * np_.sum(np_.asarray(r) ** 2, axis=1)
+        is_loop = np_.asarray(g.is_loop) > 0
+        mask = np_.asarray(g.edge_mask) > 0
+        self.logger.log_info("total_graph_error", float(u[mask].sum()))
+        loop_errors = u[mask & is_loop]
+        self.logger.log_info("nb_loop_closures", int((mask & is_loop).sum()))
+        if len(loop_errors):
+            self.logger.log_info("max_loop_closure_error",
+                                 float(loop_errors.max()))
+            self.logger.log_info("mean_loop_closure_error",
+                                 float(loop_errors.mean()))
 
     def start_optimization(self):
         fg = self.aggregate_pose_graphs()
@@ -503,6 +522,30 @@ class DecentralizedPGO:
             return
         self.heartbeat_publisher.publish(
             msgs.Heartbeat(origin_robot_id=self.origin_robot_id))
+
+    def visualization_callback(self):
+        """Publish the current estimates + known loop closures for
+        external viewers (reference visualization_callback,
+        decentralized_pgo.cpp:744-776; periodic when
+        visualization.enable)."""
+        values = [
+            msgs.PoseGraphValue(robot_id=k[0], keyframe_id=k[1], pose=p)
+            for k, p in sorted(self.current_pose_estimates.items())
+        ]
+        factors = list(self.local_factors)
+        for lcs in self.inter_robot_loop_closures.values():
+            factors.extend(lcs)
+        edges = [
+            msgs.PoseGraphEdge(key_from=f.key_from, key_to=f.key_to,
+                               measurement=(f.R, f.t),
+                               noise_std=DEFAULT_NOISE_STD)
+            for f in factors
+        ]
+        self.bus.publish(
+            "/cslam/viz/pose_graph",
+            msgs.PoseGraph(robot_id=self.robot_id,
+                           origin_robot_id=self.origin_robot_id,
+                           values=values, edges=edges))
 
     def write_current_estimates_callback(self, msg):
         path = msg if isinstance(msg, str) else msg.decode()
