@@ -82,3 +82,15 @@ def test_pallas_knn_multiple_tiles():
     # each query's best match is its own source row
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], [3, 77, 500, 1000])
     assert np.all(np.asarray(sims)[:, 0] > 0.99)
+
+
+def test_cosine_topk_precomputed_norms():
+    """cosine_topk with cached row norms equals the self-normalizing path."""
+    rng = np.random.default_rng(2)
+    data = jnp.asarray(rng.standard_normal((128, 32)), dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((3, 32)), dtype=jnp.float32)
+    norms = jnp.linalg.norm(data, axis=-1)
+    i1, s1 = knn.cosine_topk(data, 100, q, 4)
+    i2, s2 = knn.cosine_topk(data, 100, q, 4, data_norms=norms)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
