@@ -67,6 +67,10 @@ class PGOConfig(NamedTuple):
     # On TPU the dense Cholesky wins only for small blocks (the (P,P,6,6)
     # scatter-assembly dominates beyond that); measured crossover ~P=256.
     dense_threshold: int = 1536  # on 6P (i.e. P <= 256 poses)
+    # Chordal initialization (backend/initialization.py): replaces the
+    # stored initial estimates with a rotation-averaging solution before
+    # the first LM — enables convergence from arbitrary initial frames.
+    use_chordal_init: bool = False
 
 
 # ----------------------------------------------------------------------
@@ -287,6 +291,10 @@ def _gnc_weights_tls(u, mu, barc_sq):
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     """Full GNC-TLS robust PGO from the graph's stored initial estimates."""
+    if cfg.use_chordal_init:
+        from cslam_tpu.backend.initialization import chordal_initialize
+        R0, t0 = chordal_initialize(g)
+        g = g._replace(R=R0, t=t0)
     R0, t0 = g.R, g.t
     ones = jnp.ones_like(g.edge_mask)
     initial_cost = graph_cost(g, R0, t0, ones)
