@@ -38,6 +38,10 @@ class DescriptorDatabase:
     def _alloc(self, dim: int):
         self.dim = dim
         self._data = jnp.zeros((self._capacity, dim), dtype=jnp.float32)
+        # row norms maintained incrementally: searches become a single
+        # HBM pass (and avoid XLA's per-tile norm-recompute pathology,
+        # ops/knn.py)
+        self._norms = jnp.zeros((self._capacity,), dtype=jnp.float32)
 
     def __len__(self):
         return self.n
@@ -58,7 +62,12 @@ class DescriptorDatabase:
         if self.n >= self._capacity:
             self._capacity *= 2
             self._data = knn.grow(self._data, self._capacity)
+            self._norms = jnp.concatenate(
+                [self._norms,
+                 jnp.zeros((self._capacity // 2,), dtype=jnp.float32)])
         self._data = knn.set_row(self._data, self.n, jnp.asarray(vector))
+        self._norms = self._norms.at[self.n].set(
+            float(np.linalg.norm(vector)))
         self.items[self.n] = item
         self.n += 1
 
@@ -73,7 +82,8 @@ class DescriptorDatabase:
         query = np.asarray(query, dtype=np.float32).reshape(1, self.dim)
         k_eff = min(k, self.n)
         idx, sims = knn.cosine_topk(self._data, self.n, jnp.asarray(query),
-                                    min(k, self._capacity))
+                                    min(k, self._capacity),
+                                    data_norms=self._norms)
         idx = np.asarray(idx[0][:k_eff])
         sims = np.asarray(sims[0][:k_eff])
         return [self.items[int(i)] for i in idx], sims
@@ -92,7 +102,8 @@ class DescriptorDatabase:
         queries = np.asarray(queries, dtype=np.float32).reshape(-1, self.dim)
         k_eff = min(k, self.n)
         idx, sims = knn.cosine_topk(self._data, self.n, jnp.asarray(queries),
-                                    min(k, self._capacity))
+                                    min(k, self._capacity),
+                                    data_norms=self._norms)
         idx = np.asarray(idx[:, :k_eff])
         sims = np.asarray(sims[:, :k_eff])
         items = [[self.items[int(i)] for i in row] for row in idx]

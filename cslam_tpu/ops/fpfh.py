@@ -28,9 +28,8 @@ N_BINS = 11  # per angle, 33-d descriptor (open3d default)
 
 
 def _knn_indices(points, mask, k):
-    d2 = (jnp.sum(points * points, axis=1)[:, None] +
-          jnp.sum(points * points, axis=1)[None, :] -
-          2.0 * points @ points.T)
+    p2 = jax.lax.optimization_barrier(jnp.sum(points * points, axis=1))
+    d2 = p2[:, None] + p2[None, :] - 2.0 * points @ points.T
     d2 = jnp.where(mask[None, :] > 0, d2, jnp.inf)
     d2 = d2 + jnp.eye(points.shape[0]) * jnp.inf  # exclude self
     neg, idx = jax.lax.top_k(-d2, k)
@@ -118,9 +117,9 @@ def fpfh(points, mask, k=16):
 def fpfh_correspondences(feat_a, mask_a, feat_b, mask_b):
     """Mutual nearest neighbors in FPFH space (icp_utils.py:40-65
     mutual-filter semantics). Returns (idx_b_for_a, valid)."""
-    d2 = (jnp.sum(feat_a * feat_a, axis=1)[:, None] +
-          jnp.sum(feat_b * feat_b, axis=1)[None, :] -
-          2.0 * feat_a @ feat_b.T)
+    a2 = jax.lax.optimization_barrier(jnp.sum(feat_a * feat_a, axis=1))
+    b2 = jax.lax.optimization_barrier(jnp.sum(feat_b * feat_b, axis=1))
+    d2 = a2[:, None] + b2[None, :] - 2.0 * feat_a @ feat_b.T
     d2 = jnp.where((mask_a[:, None] > 0) & (mask_b[None, :] > 0), d2,
                    jnp.inf)
     best_b = jnp.argmin(d2, axis=1)

@@ -42,7 +42,12 @@ def cosine_topk(data, n_valid, queries, k, data_norms=None):
     data = data.astype(jnp.float32)
     queries = queries.astype(jnp.float32)
     if data_norms is None:
-        data_norms = jnp.linalg.norm(data, axis=-1)
+        # Computed OUTSIDE the fused similarity computation on purpose:
+        # letting XLA fuse the row-norm into the matmul consumer makes it
+        # recompute norms per output tile — measured 280x slower on TPU.
+        # optimization_barrier forces materialization.
+        data_norms = jax.lax.optimization_barrier(
+            jnp.linalg.norm(data, axis=-1))
     q_norm = jnp.linalg.norm(queries, axis=-1)
     # MXU matmul: (B, D) @ (D, N) -> (B, N)
     dots = jnp.dot(queries, data.T, preferred_element_type=jnp.float32)
@@ -76,8 +81,9 @@ def cross_similarity(data_a, n_a, data_b, n_b):
     """
     a = data_a.astype(jnp.float32)
     b = data_b.astype(jnp.float32)
-    an = jnp.linalg.norm(a, axis=-1)
-    bn = jnp.linalg.norm(b, axis=-1)
+    # barriers prevent per-tile norm recomputation (see cosine_topk)
+    an = jax.lax.optimization_barrier(jnp.linalg.norm(a, axis=-1))
+    bn = jax.lax.optimization_barrier(jnp.linalg.norm(b, axis=-1))
     dots = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
     sims = dots / jnp.maximum(an[:, None] * bn[None, :], 1e-12)
     rows = jnp.arange(a.shape[0], dtype=jnp.int32)

@@ -111,8 +111,11 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024):
     assert N % tile_rows == 0, (N, tile_rows)
     num_tiles = N // tile_rows
 
-    data_n = data / jnp.maximum(
-        jnp.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    # barrier: keep the normalization a separate materialized pass (XLA
+    # otherwise recomputes row norms per consumer tile — 100x+ slowdowns)
+    data_n = jax.lax.optimization_barrier(
+        data / jnp.maximum(
+            jnp.linalg.norm(data, axis=1, keepdims=True), 1e-12))
     queries_n = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
 

@@ -54,9 +54,11 @@ def weighted_kabsch(src, dst, w):
 def nearest_neighbors(src, src_mask, dst, dst_mask):
     """(N,) indices into dst of each src point's nearest neighbor + d2.
     One (N, M) distance matrix — MXU-shaped work."""
-    d2 = (jnp.sum(src * src, axis=1)[:, None] +
-          jnp.sum(dst * dst, axis=1)[None, :] -
-          2.0 * src @ dst.T)
+    # barriers: stop XLA re-fusing the squared-norm rows into every
+    # distance-matrix tile (per-tile recompute pathology, see ops/knn.py)
+    s2 = jax.lax.optimization_barrier(jnp.sum(src * src, axis=1))
+    d2n = jax.lax.optimization_barrier(jnp.sum(dst * dst, axis=1))
+    d2 = s2[:, None] + d2n[None, :] - 2.0 * src @ dst.T
     d2 = jnp.where(dst_mask[None, :] > 0, d2, jnp.inf)
     idx = jnp.argmin(d2, axis=1)
     best = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
