@@ -142,27 +142,51 @@ class LidarHandler:
                 points=self.local_keyframes[kf_id]))
 
     def _register(self, src_cloud: np.ndarray, dst_cloud: np.ndarray):
-        """GNC-ICP with Scan Context yaw initialization — the TEASER++
-        global-registration replacement (icp_utils.py:99-135)."""
+        """Robust registration, TEASER++ replacement (icp_utils.py:99-135):
+        GNC-ICP refinement from two independent global seeds — the Scan
+        Context yaw estimate and FPFH mutual-correspondence RANSAC — with
+        the better-fitting hypothesis (inlier fraction, then RMSE)
+        winning. Multi-hypothesis seeding covers both SC's planar-scene
+        symmetries and FPFH's sparse-feature failure modes."""
+        from cslam_tpu.ops import fpfh as fpfh_ops
+        from cslam_tpu.ops.matching2d import ransac_rigid3d
+
         cap = 1
         target = max(len(src_cloud), len(dst_cloud), 1)
         while cap < target:
             cap *= 2
         src, src_mask = _pad_cloud(src_cloud, cap)
         dst, dst_mask = _pad_cloud(dst_cloud, cap)
-        # yaw seed from scan contexts
-        sc_src = sc_ops.pointcloud_to_scancontext(
-            jnp.asarray(src), jnp.asarray(src_mask))
-        sc_dst = sc_ops.pointcloud_to_scancontext(
-            jnp.asarray(dst), jnp.asarray(dst_mask))
+        src_j, dst_j = jnp.asarray(src), jnp.asarray(dst)
+        sm_j, dm_j = jnp.asarray(src_mask), jnp.asarray(dst_mask)
+
+        seeds = []
+        # seed A: Scan Context yaw
+        sc_src = sc_ops.pointcloud_to_scancontext(src_j, sm_j)
+        sc_dst = sc_ops.pointcloud_to_scancontext(dst_j, dm_j)
         _, yaws = sc_ops.scancontext_distances(sc_dst, sc_src[None])
         yaw = -float(yaws[0]) * (2.0 * np.pi / 60.0)
-        R0 = registration.yaw_rotation(jnp.float32(yaw))
-        result = registration.gnc_icp(
-            jnp.asarray(src), jnp.asarray(src_mask), jnp.asarray(dst),
-            jnp.asarray(dst_mask), R0, jnp.zeros(3, dtype=jnp.float32),
-            max_corr_dist=2.0 * self.voxel_size)
-        return result
+        seeds.append((registration.yaw_rotation(jnp.float32(yaw)),
+                      jnp.zeros(3, dtype=jnp.float32)))
+        # seed B: FPFH correspondences + robust 3D alignment
+        fa = fpfh_ops.fpfh(src_j, sm_j)
+        fb = fpfh_ops.fpfh(dst_j, dm_j)
+        idx, valid = fpfh_ops.fpfh_correspondences(fa, sm_j, fb, dm_j)
+        coarse = ransac_rigid3d(src_j, dst_j[idx], valid,
+                                inlier_threshold=4.0 * self.voxel_size,
+                                min_inliers=3)
+        seeds.append((coarse.R, coarse.t))
+
+        best = None
+        for R0, t0 in seeds:
+            result = registration.gnc_icp(
+                src_j, sm_j, dst_j, dm_j, R0, t0,
+                max_corr_dist=2.0 * self.voxel_size)
+            if best is None or \
+                    (float(result.inlier_frac), -float(result.rmse)) > \
+                    (float(best.inlier_frac), -float(best.rmse)):
+                best = result
+        return best
 
     def receive_local_descriptors(self, msg: msgs.LocalPointCloudDescriptors):
         """Register the received cloud against each of my matched
