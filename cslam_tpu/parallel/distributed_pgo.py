@@ -64,6 +64,11 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
     n_shards = mesh.shape[axis_name]
     assert g.e_i.shape[0] % n_shards == 0
 
+    if cfg.use_chordal_init:
+        from cslam_tpu.backend.initialization import chordal_initialize
+        R0, t0 = chordal_initialize(g)
+        g = g._replace(R=R0, t=t0)
+
     g_sharded = _shard_graph(mesh, g, axis_name)
 
     edge_specs = GraphArrays(
