@@ -65,7 +65,7 @@ class BackendConfig:
     lm_max_iters: int = 10
     lm_init_lambda: float = 1e-4
     cg_max_iters: int = 100
-    cg_tol: float = 1e-8
+    cg_tol: float = 1e-6
     prior_sigma: float = 1e-4  # gauge prior on first own pose
 
 
