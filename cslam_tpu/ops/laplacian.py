@@ -30,6 +30,24 @@ def laplacian_dense(e_i, e_j, weights, num_nodes):
     return L
 
 
+def incidence_matrix(e_i, e_j, num_nodes):
+    """Dense signed incidence matrix B (P, E): column e has +1 at e_i,
+    -1 at e_j. Then L(w) = (B * w) @ B.T — the Laplacian assembles as one
+    MXU matmul instead of four scatter-adds (scatters measured ~400x
+    slower than the equivalent matmul on TPU)."""
+    E = e_i.shape[0]
+    rows = jnp.arange(num_nodes)[:, None]
+    B = (rows == e_i[None, :]).astype(jnp.float32) - \
+        (rows == e_j[None, :]).astype(jnp.float32)
+    return B
+
+
+def laplacian_from_incidence(B, weights):
+    """L(w) = B diag(w) B^T — one matmul on the MXU."""
+    return jnp.dot(B * weights[None, :].astype(jnp.float32), B.T,
+                   preferred_element_type=jnp.float32)
+
+
 def degree_vector(e_i, e_j, weights, num_nodes):
     """Weighted degrees d_i = sum of incident edge weights, (P,)."""
     w = weights.astype(jnp.float32)
