@@ -57,3 +57,22 @@ def test_large_graph_uses_lobpcg_and_selects():
     res = mac.fw_subset(w0, k, max_iters=5)
     assert int(res.w.sum()) == k
     assert np.isfinite(res.upper_bound)
+
+
+def test_warm_lobpcg_matches_eigh_quality():
+    """The default warm-started LOBPCG Fiedler tracking must reach
+    selections at least as connective as the exact eigh path."""
+    rng = np.random.default_rng(7)
+    fixed, cand = chain_with_candidates(rng, 200, 60)
+    k = 8
+    mac = MAC(fixed, cand, 200)
+    assert mac.fiedler_method == "warm-lobpcg"
+    w0 = np.zeros(len(cand), np.float32)
+    w0[np.argsort([e.weight for e in cand])[-k:]] = 1.0
+    res_warm = mac.fw_subset(w0, k, max_iters=20)
+    mac.fiedler_method = "eigh"
+    res_eigh = mac.fw_subset(w0, k, max_iters=20)
+    assert int(res_warm.w.sum()) == k
+    obj_warm = mac.evaluate_objective(res_warm.w)
+    obj_eigh = mac.evaluate_objective(res_eigh.w)
+    assert obj_warm >= obj_eigh * 0.9, (obj_warm, obj_eigh)
