@@ -122,14 +122,26 @@ class FactorGraph:
     def num_factors(self):
         return len(self.factors)
 
-    def to_arrays(self, edge_bucket_multiple: int = 1) -> GraphArrays:
+    def to_arrays(self, edge_bucket_multiple: int = 1,
+                  sort_by_robot: bool = False) -> GraphArrays:
         """edge_bucket_multiple: round the edge bucket up so it divides
-        evenly over a device mesh of that size (factor-parallel PGO)."""
+        evenly over a device mesh of that size (factor-parallel PGO).
+
+        sort_by_robot: stable-sort factors by owning robot (min robot id
+        of the endpoints) so each robot's factor block lands contiguously
+        — under the distributed solver's equal-split sharding, robots then
+        map onto the mesh shard axis (SURVEY §2 'robot-level data
+        decomposition' -> mesh axis)."""
         P = _next_pow2(max(self.num_nodes, 2))
         E = _next_pow2(max(self.num_factors, 1))
         if edge_bucket_multiple > 1 and E % edge_bucket_multiple:
             E = ((E + edge_bucket_multiple - 1) // edge_bucket_multiple
                  ) * edge_bucket_multiple
+        factors = self.factors
+        if sort_by_robot:
+            factors = sorted(
+                factors,
+                key=lambda f: min(f.key_from[0], f.key_to[0]))
         R = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
         t = np.zeros((P, 3), dtype=np.float32)
         R[:self.num_nodes] = np.stack(self.R) if self.R else R[:0]
@@ -144,7 +156,7 @@ class FactorGraph:
         sqrt_info = np.tile(np.eye(6, dtype=np.float32), (E, 1, 1))
         edge_mask = np.zeros(E, dtype=np.float32)
         is_loop = np.zeros(E, dtype=np.float32)
-        for k, f in enumerate(self.factors):
+        for k, f in enumerate(factors):
             e_i[k] = self.key_to_index[f.key_from]
             e_j[k] = self.key_to_index[f.key_to]
             R_meas[k] = f.R

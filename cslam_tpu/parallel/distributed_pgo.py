@@ -231,7 +231,8 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
 def optimize(mesh: Mesh, fg: FactorGraph,
              cfg: pgo_mod.PGOConfig = pgo_mod.PGOConfig()):
     n = mesh.shape[list(mesh.shape.keys())[0]]
-    g = fg.to_arrays(edge_bucket_multiple=n)
+    # robot-contiguous factor blocks: robots map onto the shard axis
+    g = fg.to_arrays(edge_bucket_multiple=n, sort_by_robot=True)
     result = distributed_gnc_optimize(mesh, g, cfg)
     fg.update_estimates(result.R, result.t)
     return result

@@ -76,3 +76,30 @@ def test_distributed_pgo_matches_single_chip(mesh):
     loop_idx = np.nonzero(np.asarray(g.is_loop))[0]
     w = np.asarray(res_dist.weights)
     assert w[loop_idx[-1]] < 0.1  # outlier rejected
+
+
+def test_sorted_factor_blocks_map_robots_to_shards():
+    """sort_by_robot places each robot's factors contiguously so the
+    equal-split sharding aligns robots with mesh shards."""
+    from cslam_tpu.backend.factor_graph import BetweenFactor, FactorGraph, \
+        diag_sqrt_info
+
+    fg = FactorGraph()
+    sq = diag_sqrt_info([0.01] * 6)
+    eye, zero = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    # interleave insertion across robots 1, 0, 2
+    for rid in (1, 0, 2, 1, 0, 2):
+        kf = fg.num_factors  # unique ids
+        fg.add_between(BetweenFactor((rid, kf), (rid, kf + 100), eye, zero,
+                                     sq))
+    g = fg.to_arrays(sort_by_robot=True)
+    # node table maps indices back to robots
+    idx_to_robot = {v: k[0] for k, v in fg.key_to_index.items()}
+    owners = [idx_to_robot[int(i)] for i, m in
+              zip(np.asarray(g.e_i), np.asarray(g.edge_mask)) if m > 0]
+    assert owners == sorted(owners), owners
+    # unsorted keeps insertion order
+    g2 = fg.to_arrays()
+    owners2 = [idx_to_robot[int(i)] for i, m in
+               zip(np.asarray(g2.e_i), np.asarray(g2.edge_mask)) if m > 0]
+    assert owners2 == [1, 0, 2, 1, 0, 2]
