@@ -23,9 +23,12 @@ Semantics preserved:
   is checked exactly (union-find on the host) before launching the jitted
   solve, instead of relying on float32 eigensolver noise thresholds.
 
-The whole Frank-Wolfe loop is one jitted XLA program: dense Laplacian
-scatter-assembly + eigh Fiedler solve per iteration (ops/fiedler.py),
-static shapes via power-of-two padding of nodes and candidate edges.
+The whole Frank-Wolfe loop is one jitted XLA program with static shapes
+(power-of-two padding of nodes and candidate edges). The per-iteration
+Laplacian assembles as one incidence-matrix matmul; the Fiedler pair is
+tracked by a warm-started LOBPCG block carried across FW iterations
+(2.7x faster than per-iteration eigh on TPU), with an exact "eigh" mode
+and a matrix-free "matfree" mode for graphs beyond dense (P, P) sizes.
 """
 
 import functools
