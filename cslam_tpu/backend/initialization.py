@@ -54,8 +54,13 @@ def _cg(matvec, b, iters, tol=1e-14):
 @jax.jit
 def chordal_initialize(g: GraphArrays):
     """(R, t) initial estimates from the chordal relaxation of g's
-    between-measurements. Anchor: the prior pose at g.prior_idx."""
+    between-measurements. Anchor: the prior pose at g.prior_idx.
+
+    CG iteration budget scales with the node count: an unpreconditioned
+    chain's condition number grows ~P^2, so fixed iteration counts
+    under-converge on large graphs (observed on sphere-10k)."""
     P = g.R.shape[0]
+    cg_iters = min(max(400, 2 * P), 4000)
     w = g.edge_mask
     anchor_w = 1e2
 
@@ -76,7 +81,7 @@ def chordal_initialize(g: GraphArrays):
         return out + 1e-6 * X
 
     b_rot = jnp.zeros((P, 3, 3)).at[g.prior_idx].add(anchor_w * g.prior_R)
-    X = _cg(rot_matvec, b_rot, iters=400)
+    X = _cg(rot_matvec, b_rot, iters=cg_iters)
     R_init = se3.normalize_rotation(X + 1e-6 * jnp.eye(3))
     # padded nodes: keep identity
     R_init = jnp.where(g.node_mask[:, None, None] > 0, R_init,
@@ -98,6 +103,6 @@ def chordal_initialize(g: GraphArrays):
     b_t = b_t.at[g.e_j].add(rhs_e)
     b_t = b_t.at[g.e_i].add(-rhs_e)
     b_t = b_t.at[g.prior_idx].add(anchor_w * g.prior_t)
-    t_init = _cg(t_matvec, b_t, iters=400)
+    t_init = _cg(t_matvec, b_t, iters=cg_iters)
     t_init = t_init * g.node_mask[:, None]
     return R_init, t_init
