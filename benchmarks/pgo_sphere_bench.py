@@ -24,48 +24,44 @@ def make_sphere_graph(n=2500, ring=50, meas_noise=0.02, seed=0):
     from cslam_tpu.ops import se3
 
     rng = np.random.default_rng(seed)
-    # ground truth: spiral over the sphere, orientation = local frame
-    R_gt, t_gt = [], []
     radius = 30.0
-    for k in range(n):
-        frac = k / n
-        theta = 2 * np.pi * (k % ring) / ring        # azimuth around ring
-        phi = np.pi * (frac - 0.5)                   # latitude sweep
-        pos = radius * np.array([np.cos(phi) * np.cos(theta),
-                                 np.cos(phi) * np.sin(theta),
-                                 np.sin(phi)])
-        yaw = theta + np.pi / 2
-        R = np.asarray(se3.so3_exp(jnp.asarray(
-            [0.0, phi * 0.3, yaw], dtype=jnp.float32)))
-        R_gt.append(R.astype(np.float32))
-        t_gt.append(pos.astype(np.float32))
-    R_gt, t_gt = np.stack(R_gt), np.stack(t_gt)
+    # ground truth: spiral over the sphere (batched)
+    ks = np.arange(n)
+    theta = 2 * np.pi * (ks % ring) / ring
+    phi = np.pi * (ks / n - 0.5)
+    t_gt = (radius * np.stack([np.cos(phi) * np.cos(theta),
+                               np.cos(phi) * np.sin(theta),
+                               np.sin(phi)], axis=1)).astype(np.float32)
+    w_gt = np.stack([np.zeros(n), phi * 0.3, theta + np.pi / 2],
+                    axis=1).astype(np.float32)
+    R_gt = np.asarray(se3.so3_exp(jnp.asarray(w_gt)))
 
-    def rel(i, j):
-        R = R_gt[i].T @ R_gt[j]
-        t = R_gt[i].T @ (t_gt[j] - t_gt[i])
-        return R, t
+    def rel_batch(ii, jj):
+        R = np.einsum("nba,nbc->nac", R_gt[ii], R_gt[jj])
+        t = np.einsum("nba,nb->na", R_gt[ii], t_gt[jj] - t_gt[ii])
+        return R.astype(np.float32), t.astype(np.float32)
 
-    def noisy(R, t):
-        xi = rng.standard_normal(6).astype(np.float32) * meas_noise
+    def noisy_batch(R, t):
+        xi = rng.standard_normal((len(t), 6)).astype(np.float32) * meas_noise
         dR, dt = se3.se3_exp(jnp.asarray(xi))
-        return (R @ np.asarray(dR)).astype(np.float32), \
-            (t + np.asarray(dt)).astype(np.float32)
+        return (np.einsum("nab,nbc->nac", R, np.asarray(dR)).astype(
+            np.float32), (t + np.asarray(dt)).astype(np.float32))
 
     fg = FactorGraph()
     sq = diag_sqrt_info([meas_noise] * 3 + [meas_noise * 5] * 3)
-    odom = []
+    odo_R, odo_t = noisy_batch(*rel_batch(ks[:-1], ks[1:]))
     for k in range(n - 1):
-        R, t = noisy(*rel(k, k + 1))
-        odom.append((R, t))
-        fg.add_between(BetweenFactor((0, k), (0, k + 1), R, t, sq))
-    n_loops = 0
-    for k in range(ring, n):
-        if k % 2 == 0:  # loop closure to the previous ring
-            R, t = noisy(*rel(k - ring, k))
-            fg.add_between(BetweenFactor((0, k - ring), (0, k), R, t, sq,
-                                         is_loop=True))
-            n_loops += 1
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), odo_R[k], odo_t[k],
+                                     sq))
+    loop_to = np.asarray([k for k in range(ring, n) if k % 2 == 0])
+    loop_from = loop_to - ring
+    lc_R, lc_t = noisy_batch(*rel_batch(loop_from, loop_to))
+    n_loops = len(loop_to)
+    for idx in range(n_loops):
+        fg.add_between(BetweenFactor((0, int(loop_from[idx])),
+                                     (0, int(loop_to[idx])),
+                                     lc_R[idx], lc_t[idx], sq, is_loop=True))
+    odom = list(zip(odo_R, odo_t))
     # initial estimates: integrate the noisy odometry (drifts badly)
     R_est = [R_gt[0]]
     t_est = [t_gt[0]]
