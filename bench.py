@@ -139,11 +139,20 @@ def bench_pgo(iters=3, n=1000):
 
 def main():
     import jax
+
+    # If the TPU backend is unreachable (tunnel down), fall back to CPU
+    # so the benchmark still emits its JSON line (marked by platform).
+    try:
+        devices = jax.devices()
+    except Exception as exc:  # backend init failure
+        _log(f"TPU backend unavailable ({exc}); falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        devices = jax.devices()
     import jax.numpy as jnp
     from cslam_tpu.ops import knn
 
-    platform = jax.devices()[0].platform
-    _log(f"bench on {jax.devices()[0]} (platform={platform})")
+    platform = devices[0].platform
+    _log(f"bench on {devices[0]} (platform={platform})")
 
     qps = bench_knn(jnp, knn)
     mac_dt = bench_mac(np)
