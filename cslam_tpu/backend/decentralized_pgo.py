@@ -25,6 +25,7 @@ cslam_tpu bus with the JAX GNC-LM solver:
 """
 
 import enum
+import sys
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -369,6 +370,12 @@ class DecentralizedPGO:
         try:
             result = pgo.optimize(fg, self.pgo_config)
         except Exception:
+            # A failed solve must be observable, not a silent return to
+            # IDLE — mirror the reference's error logging.
+            import traceback
+            traceback.print_exc(file=sys.stderr)
+            if self.logger is not None:
+                self.logger.log_info("pgo_failures", 1.0)
             result = None
         if self.logger is not None:
             self.logger.stop_timer()

@@ -144,17 +144,25 @@ def voxel_downsample(points, mask, voxel_size, voxel_grid=64,
     """
     n = points.shape[0]
     vox = jnp.floor((points + origin_range) / voxel_size).astype(jnp.int32)
-    in_range = jnp.all((vox >= 0) & (vox < (2 * origin_range / voxel_size)),
-                       axis=1)
+    cells = jnp.ceil(2 * origin_range / voxel_size).astype(jnp.int32)
+    in_range = jnp.all((vox >= 0) & (vox < cells), axis=1)
     valid = (mask > 0) & in_range
-    # hash voxels; keep first point of each voxel via sorted unique trick
-    key = (vox[:, 0] * 73856093) ^ (vox[:, 1] * 19349663) ^ \
-        (vox[:, 2] * 83492791)
-    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
-    order = jnp.argsort(key)
-    sorted_key = key[order]
+    # Collision-free voxel key split across two int32s (a single linear
+    # int32 index would overflow for cells > ~1290 per axis); sort
+    # lexicographically, invalid points pushed to the end.
+    sentinel = jnp.iinfo(jnp.int32).max
+    k_hi = jnp.where(valid, vox[:, 0], sentinel)
+    k_lo = jnp.where(valid, vox[:, 1] * cells + vox[:, 2], sentinel)
+    order = jnp.lexsort((k_lo, k_hi))
+    hi_s, lo_s = k_hi[order], k_lo[order]
     first = jnp.concatenate(
-        [jnp.array([True]), sorted_key[1:] != sorted_key[:-1]])
-    keep = first & (sorted_key != jnp.iinfo(jnp.int32).max)
-    out_points = points[order]
-    return out_points, keep.astype(jnp.float32)
+        [jnp.array([True]),
+         (hi_s[1:] != hi_s[:-1]) | (lo_s[1:] != lo_s[:-1])])
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1
+    pts_s = points[order]
+    w = (hi_s != sentinel).astype(jnp.float32)
+    sums = jax.ops.segment_sum(pts_s * w[:, None], seg_id, num_segments=n)
+    counts = jax.ops.segment_sum(w, seg_id, num_segments=n)
+    centroids = sums / jnp.maximum(counts, 1.0)[:, None]
+    keep = first & (hi_s != sentinel)
+    return centroids[seg_id], keep.astype(jnp.float32)

@@ -47,6 +47,10 @@ def _load():
     lib.cslam_bus_poll.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
                                    ctypes.c_int, ctypes.c_char_p,
                                    ctypes.c_int, ctypes.c_int]
+    lib.cslam_bus_front_sizes.restype = ctypes.c_int
+    lib.cslam_bus_front_sizes.argtypes = [ctypes.c_void_p,
+                                          ctypes.POINTER(ctypes.c_uint32),
+                                          ctypes.POINTER(ctypes.c_uint32)]
     lib.cslam_bus_sent_bytes.restype = ctypes.c_uint64
     lib.cslam_bus_sent_bytes.argtypes = [ctypes.c_void_p]
     lib.cslam_bus_received_bytes.restype = ctypes.c_uint64
@@ -183,13 +187,32 @@ class NativeBus:
         raw bytes."""
         self._subs.append((self.resolve(topic), msg_type, callback))
 
+    def _grow_for_front(self) -> bool:
+        """Resize buffers to fit the frame at the queue front (poll
+        returned -2). Without this, one oversized message would wedge the
+        bus forever (frames stay queued in FIFO order)."""
+        tlen = ctypes.c_uint32()
+        plen = ctypes.c_uint32()
+        if self._lib.cslam_bus_front_sizes(
+                self._handle, ctypes.byref(tlen), ctypes.byref(plen)) != 0:
+            return False
+        if tlen.value + 1 > len(self._topic_buf):
+            self._topic_buf = ctypes.create_string_buffer(tlen.value + 1)
+        if plen.value > len(self._data_buf):
+            self._data_buf = ctypes.create_string_buffer(plen.value)
+        return True
+
     def spin_once(self, timeout_ms: int = 0, max_msgs: int = 1000) -> int:
         delivered = 0
         for _ in range(max_msgs):
             n = self._lib.cslam_bus_poll(
                 self._handle, self._topic_buf, len(self._topic_buf),
-                self._data_buf, self._MAX_MSG,
+                self._data_buf, len(self._data_buf),
                 timeout_ms if delivered == 0 else 0)
+            if n == -2:
+                if not self._grow_for_front():
+                    break
+                continue
             if n < 0:
                 break
             topic = self._topic_buf.value.decode()

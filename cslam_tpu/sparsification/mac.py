@@ -294,8 +294,10 @@ class MAC:
         lam2, _ = _fiedler_dense(L, self.node_mask)
         return float(lam2)
 
-    def fw_subset(self, w_init, k: int, max_iters: int = 5,
+    def fw_subset(self, w_init, k: int, max_iters: int = 20,
                   duality_gap_tol: float = 1e-8) -> MACResult:
+        """Frank-Wolfe subset selection. Defaults match the reference:
+        max_iters=20 (cslam/mac/mac.py:191, a_c_m.py:39), tol 1e-8."""
         k = int(min(k, self.m))
         if self.m == 0 or k <= 0:
             return MACResult(np.zeros(self.m, np.float32),

@@ -258,6 +258,20 @@ int cslam_bus_poll(void* handle, char* topic_buf, int topic_cap,
   return n;
 }
 
+// Sizes of the frame at the queue front without consuming it, so a
+// caller that got -2 from poll can grow its buffers and retry instead
+// of wedging the queue. Returns 0 with sizes filled, -1 when empty.
+int cslam_bus_front_sizes(void* handle, uint32_t* topic_len,
+                          uint32_t* payload_len) {
+  Bus* bus = static_cast<Bus*>(handle);
+  std::lock_guard<std::mutex> lock(bus->queue_mutex);
+  if (bus->inbound.empty()) return -1;
+  const Frame& frame = bus->inbound.front();
+  *topic_len = static_cast<uint32_t>(frame.topic.size());
+  *payload_len = static_cast<uint32_t>(frame.payload.size());
+  return 0;
+}
+
 uint64_t cslam_bus_sent_bytes(void* handle) {
   return static_cast<Bus*>(handle)->sent_bytes.load();
 }

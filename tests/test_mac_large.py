@@ -76,3 +76,12 @@ def test_warm_lobpcg_matches_eigh_quality():
     obj_warm = mac.evaluate_objective(res_warm.w)
     obj_eigh = mac.evaluate_objective(res_eigh.w)
     assert obj_warm >= obj_eigh * 0.9, (obj_warm, obj_eigh)
+
+
+def test_reference_defaults_pinned():
+    """Defaults must match the reference: fw_subset max_iters=20,
+    duality-gap tol 1e-8 (reference mac.py:191, a_c_m.py:39)."""
+    import inspect
+    sig = inspect.signature(MAC.fw_subset)
+    assert sig.parameters["max_iters"].default == 20
+    assert sig.parameters["duality_gap_tol"].default == 1e-8

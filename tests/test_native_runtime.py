@@ -126,3 +126,35 @@ def test_native_rendezvous(lib, tmp_path):
     rv_bad = native.NativeRendezvous(str(tmp_path / "missing.csv"), 0)
     assert rv_bad.is_alive(100.0)
     rv0.close(); rv1.close(); rv_bad.close()
+
+
+def test_bus_oversized_frame_grows_buffer(lib):
+    """One frame larger than the initial poll buffer must not wedge the
+    queue (bus.cpp returns -2 and keeps FIFO order; spin_once grows the
+    buffer via cslam_bus_front_sizes and retries)."""
+    base = 18300
+    bus = native.NativeBus(0, 1, base_port=base)
+    try:
+        # shrink the initial buffer so a modest payload overflows it
+        import ctypes
+        bus._data_buf = ctypes.create_string_buffer(64)
+        got = []
+        bus.subscribe("/cslam/raw", got.append, None)
+        big = bytes(range(256)) * 16  # 4096 B > 64 B buffer
+        small = b"after"
+        bus._publish_resolved("/cslam/raw", _Raw(big))
+        bus._publish_resolved("/cslam/raw", _Raw(small))
+        assert _wait_for(lambda: (bus.spin_once(50), len(got) >= 2)[-1])
+        assert got[0] == big          # FIFO preserved, payload intact
+        assert got[1] == small        # queue not wedged
+        assert len(bus._data_buf) >= len(big)
+    finally:
+        bus.close()
+
+
+class _Raw:
+    def __init__(self, data):
+        self._data = data
+
+    def to_bytes(self):
+        return self._data

@@ -84,10 +84,19 @@ def test_voxel_downsample():
     ds, dm = registration.voxel_downsample(p, m, 1.0)
     kept = int(np.asarray(dm).sum())
     assert 0 < kept < 1000
-    # every kept point is a real input point
     kept_pts = np.asarray(ds)[np.asarray(dm) > 0]
-    for q in kept_pts[:10]:
-        assert np.min(np.linalg.norm(pts - q, axis=1)) < 1e-5
+    # per-voxel centroids, verified against a brute-force grouping
+    # (matches open3d voxel_down_sample, lidar_handler_node.py:180)
+    vox = np.floor((pts + 100.0) / 1.0).astype(int)
+    groups = {}
+    for pt, v in zip(pts, vox):
+        groups.setdefault(tuple(v), []).append(pt)
+    expect = sorted(tuple(np.mean(g, axis=0).round(4))
+                    for g in groups.values())
+    got = sorted(tuple(r.round(4)) for r in kept_pts)
+    assert len(expect) == len(got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-3)
     # downsampled set covers the cloud at voxel resolution
     for q in pts[rng.choice(1000, 20)]:
         assert np.min(np.linalg.norm(kept_pts - q, axis=1)) < 2.0
