@@ -33,7 +33,7 @@ import numpy as np
 
 from cslam_tpu.backend import pgo
 from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
-                                            diag_sqrt_info)
+                                            diag_sqrt_info, noise_std_of)
 from cslam_tpu.comm import messages as msgs
 from cslam_tpu.comm.rendezvous import SimulatedRendezVous
 from cslam_tpu.ops import se3
@@ -46,6 +46,18 @@ class OptimizerState(enum.IntEnum):
     WAITING_FOR_NEIGHBORS_POSEGRAPHS = 3
     START_OPTIMIZATION = 4
     OPTIMIZATION = 5
+
+
+def _sqrt_info_from_msg(covariance_diag) -> np.ndarray:
+    """Per-factor noise from a message's covariance diagonal; falls back
+    to the default model when the message carries no covariance (all
+    zeros / missing), matching the reference's covariance.front() != 0
+    gate (decentralized_pgo.cpp:256-261) and its per-LC noise models
+    (:307-312, :343-348)."""
+    cov = np.asarray(covariance_diag, dtype=np.float32).reshape(-1)
+    if cov.size == 6 and np.all(cov > 0) and np.all(np.isfinite(cov)):
+        return diag_sqrt_info(np.sqrt(cov))
+    return diag_sqrt_info(DEFAULT_NOISE_STD)
 
 
 DEFAULT_NOISE_STD = np.array([0.01, 0.01, 0.01, 0.1, 0.1, 0.1],
@@ -161,7 +173,8 @@ class DecentralizedPGO:
             diff = _between(self.latest_local_pose, pose)
             self.local_factors.append(
                 BetweenFactor(self.latest_local_key, key, diff[0], diff[1],
-                              diag_sqrt_info(DEFAULT_NOISE_STD)))
+                              _sqrt_info_from_msg(
+                                  getattr(msg, "covariance_diag", None))))
         if self.params.get("evaluation.enable_gps_recording", False) and \
                 self.logger is not None and hasattr(msg, "gps"):
             gps = np.asarray(msg.gps)
@@ -180,7 +193,9 @@ class DecentralizedPGO:
                           (self.robot_id, msg.keyframe1_id),
                           np.asarray(msg.pose[0], dtype=np.float32),
                           np.asarray(msg.pose[1], dtype=np.float32),
-                          diag_sqrt_info(DEFAULT_NOISE_STD), is_loop=True))
+                          _sqrt_info_from_msg(
+                              getattr(msg, "covariance_diag", None)),
+                          is_loop=True))
 
     def inter_robot_loop_closure_callback(self,
                                           msg: msgs.InterRobotLoopClosure):
@@ -190,7 +205,8 @@ class DecentralizedPGO:
                                (msg.robot1_id, msg.robot1_keyframe_id),
                                np.asarray(msg.pose[0], dtype=np.float32),
                                np.asarray(msg.pose[1], dtype=np.float32),
-                               diag_sqrt_info(DEFAULT_NOISE_STD),
+                               _sqrt_info_from_msg(
+                                   getattr(msg, "covariance_diag", None)),
                                is_loop=True)
         pair = (min(msg.robot0_id, msg.robot1_id),
                 max(msg.robot0_id, msg.robot1_id))
@@ -259,7 +275,7 @@ class DecentralizedPGO:
             msgs.PoseGraphEdge(
                 key_from=f.key_from, key_to=f.key_to,
                 measurement=(f.R, f.t),
-                noise_std=DEFAULT_NOISE_STD) for f in factors
+                noise_std=noise_std_of(f.sqrt_info)) for f in factors
         ]
         return msgs.PoseGraph(
             robot_id=self.robot_id, origin_robot_id=self.origin_robot_id,
@@ -545,7 +561,7 @@ class DecentralizedPGO:
         edges = [
             msgs.PoseGraphEdge(key_from=f.key_from, key_to=f.key_to,
                                measurement=(f.R, f.t),
-                               noise_std=DEFAULT_NOISE_STD)
+                               noise_std=noise_std_of(f.sqrt_info))
             for f in factors
         ]
         self.bus.publish(

@@ -67,6 +67,15 @@ def diag_sqrt_info(noise_std: Sequence[float]) -> np.ndarray:
     return np.diag(1.0 / np.maximum(std, 1e-12))
 
 
+def noise_std_of(sqrt_info: np.ndarray) -> np.ndarray:
+    """Inverse of diag_sqrt_info: per-axis sigmas from a sqrt-information
+    matrix. The wire format carries only the 6 diagonal sigmas (matching
+    the reference's PoseGraphEdge.noise_std[6]); off-diagonal information
+    is dropped at serialization, exactly as in the reference."""
+    d = np.abs(np.diag(np.asarray(sqrt_info, dtype=np.float32)))
+    return (1.0 / np.maximum(d, 1e-12)).astype(np.float32)
+
+
 class FactorGraph:
     """Host-side builder mapping (robot_id, keyframe_id) keys to padded
     arrays. Append-only; `to_arrays()` produces the jit input."""

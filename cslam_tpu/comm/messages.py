@@ -183,6 +183,11 @@ class LocalKeyframeMatch(Message):
 
 @dataclass
 class InterRobotLoopClosure(Message):
+    """Covariance rides along as the 6 diagonal entries [omega, v] of the
+    registration estimate covariance (the reference carries a full
+    gtsam covariance in the message and its PGO reads the diagonal,
+    rgbd_handler.cpp:623/:703 + decentralized_pgo.cpp:343-348). All
+    zeros = unknown -> ingestion falls back to the default noise."""
     robot0_id: int = 0
     robot0_keyframe_id: int = 0
     robot1_id: int = 0
@@ -190,9 +195,12 @@ class InterRobotLoopClosure(Message):
     success: bool = False
     pose: Tuple[np.ndarray, np.ndarray] = field(
         default_factory=_identity_pose)  # robot0_kf -> robot1_kf
+    covariance_diag: np.ndarray = field(
+        default_factory=lambda: np.zeros(6, np.float32))
     _FIELDS = [("robot0_id", "i"), ("robot0_keyframe_id", "i"),
                ("robot1_id", "i"), ("robot1_keyframe_id", "i"),
-               ("success", "b"), ("pose", "pose")]
+               ("success", "b"), ("pose", "pose"),
+               ("covariance_diag", "floats")]
 
 
 @dataclass
@@ -202,21 +210,29 @@ class IntraRobotLoopClosure(Message):
     success: bool = False
     pose: Tuple[np.ndarray, np.ndarray] = field(
         default_factory=_identity_pose)
+    covariance_diag: np.ndarray = field(
+        default_factory=lambda: np.zeros(6, np.float32))
     _FIELDS = [("keyframe0_id", "i"), ("keyframe1_id", "i"),
-               ("success", "b"), ("pose", "pose")]
+               ("success", "b"), ("pose", "pose"),
+               ("covariance_diag", "floats")]
 
 
 @dataclass
 class KeyframeOdom(Message):
     """Keyframe odometry; optional GPS fix rides along
     (reference KeyframeOdom carries odom + gps, decentralized_pgo
-    gps_data_ recording :284-287)."""
+    gps_data_ recording :284-287). covariance_diag: [omega, v] odometry
+    covariance diagonal; zeros = unknown (the reference gates on
+    covariance.front() != 0, decentralized_pgo.cpp:256-261)."""
     id: int = 0
     pose: Tuple[np.ndarray, np.ndarray] = field(
         default_factory=_identity_pose)
     gps: np.ndarray = field(
         default_factory=lambda: np.zeros(3, np.float32))  # lat, lon, alt
-    _FIELDS = [("id", "i"), ("pose", "pose"), ("gps", "floats")]
+    covariance_diag: np.ndarray = field(
+        default_factory=lambda: np.zeros(6, np.float32))
+    _FIELDS = [("id", "i"), ("pose", "pose"), ("gps", "floats"),
+               ("covariance_diag", "floats")]
 
 
 @dataclass

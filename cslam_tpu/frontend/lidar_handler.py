@@ -206,7 +206,9 @@ class LidarHandler:
                     robot0_id=r0, robot0_keyframe_id=k0,
                     robot1_id=r1, robot1_keyframe_id=k1,
                     success=bool(result.success),
-                    pose=(np.asarray(result.R), np.asarray(result.t))))
+                    pose=(np.asarray(result.R), np.asarray(result.t)),
+                    covariance_diag=np.asarray(result.cov_diag,
+                                               dtype=np.float32)))
 
     def receive_local_keyframe_match(self, msg: msgs.LocalKeyframeMatch):
         """Intra-robot match verification (reference :128-142)."""
@@ -219,4 +221,6 @@ class LidarHandler:
             msgs.IntraRobotLoopClosure(
                 keyframe0_id=k0, keyframe1_id=k1,
                 success=bool(result.success),
-                pose=(np.asarray(result.R), np.asarray(result.t))))
+                pose=(np.asarray(result.R), np.asarray(result.t)),
+                covariance_diag=np.asarray(result.cov_diag,
+                                           dtype=np.float32)))

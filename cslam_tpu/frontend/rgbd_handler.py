@@ -292,7 +292,12 @@ class RGBDHandler:
                 msgs.InterRobotLoopClosure(
                     robot0_id=r0, robot0_keyframe_id=k0, robot1_id=r1,
                     robot1_keyframe_id=k1, success=bool(result.success),
-                    pose=pose))
+                    pose=pose,
+                    # registration covariance rides to the back-end
+                    # (reference rgbd_handler.cpp:703); the diagonal is
+                    # kept as-is under inversion, as the reference does
+                    covariance_diag=np.asarray(result.cov_diag,
+                                               dtype=np.float32)))
 
     def receive_local_keyframe_match(self, msg: msgs.LocalKeyframeMatch):
         """Intra-robot verification (reference :593-646)."""
@@ -311,7 +316,9 @@ class RGBDHandler:
                 keyframe0_id=msg.keyframe0_id,
                 keyframe1_id=msg.keyframe1_id,
                 success=bool(result.success),
-                pose=(R.T, (-R.T @ t).astype(np.float32))))
+                pose=(R.T, (-R.T @ t).astype(np.float32)),
+                covariance_diag=np.asarray(result.cov_diag,
+                                           dtype=np.float32)))
 
 
 class StereoHandler(RGBDHandler):

@@ -174,7 +174,8 @@ class SimSensorHandler:
             self.inter_lc_publisher.publish(
                 msgs.InterRobotLoopClosure(
                     robot0_id=r0, robot0_keyframe_id=k0, robot1_id=r1,
-                    robot1_keyframe_id=k1, success=success, pose=pose))
+                    robot1_keyframe_id=k1, success=success, pose=pose,
+                    covariance_diag=self._measurement_covariance()))
 
     def on_local_keyframe_match(self, msg: msgs.LocalKeyframeMatch):
         Rrel, trel, dist = self._measure(self.robot_id, msg.keyframe0_id,
@@ -183,4 +184,12 @@ class SimSensorHandler:
             msgs.IntraRobotLoopClosure(
                 keyframe0_id=msg.keyframe0_id,
                 keyframe1_id=msg.keyframe1_id,
-                success=dist < self.verification_gate, pose=(Rrel, trel)))
+                success=dist < self.verification_gate, pose=(Rrel, trel),
+                covariance_diag=self._measurement_covariance()))
+
+    def _measurement_covariance(self):
+        """The sim knows its own measurement noise exactly — stamp it as
+        the per-factor covariance (the real handlers stamp the
+        registration estimate covariance, rgbd_handler.cpp:623/:703)."""
+        var = max(self.measurement_noise, 1e-3) ** 2
+        return np.full(6, var, dtype=np.float32)

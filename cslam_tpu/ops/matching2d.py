@@ -24,6 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cslam_tpu.ops import registration
 from cslam_tpu.ops.registration import weighted_kabsch
 
 
@@ -56,6 +57,7 @@ class RansacResult(NamedTuple):
     inliers: jnp.ndarray       # (N,) float mask
     num_inliers: jnp.ndarray   # scalar
     success: jnp.ndarray       # bool
+    cov_diag: jnp.ndarray      # (6,) [omega, v] estimate covariance diag
 
 
 @functools.partial(jax.jit, static_argnames=("num_hypotheses",))
@@ -102,8 +104,12 @@ def ransac_rigid3d(pts0, pts1, valid, inlier_threshold=0.3,
     final_inliers = ((res < inlier_threshold) &
                      (valid > 0)).astype(jnp.float32)
     num = jnp.sum(final_inliers)
+    sigma_sq = jnp.sum(final_inliers * res * res) / jnp.maximum(num, 1.0)
+    cov_diag = registration.se3_estimate_covariance(
+        moved, final_inliers, sigma_sq)
     return RansacResult(R=R_ref, t=t_ref, inliers=final_inliers,
-                        num_inliers=num, success=num >= min_inliers)
+                        num_inliers=num, success=num >= min_inliers,
+                        cov_diag=cov_diag)
 
 
 def verify_keyframe_pair(desc0, pts0, mask0, desc1, pts1, mask1,

@@ -33,6 +33,43 @@ class RegistrationResult(NamedTuple):
     rmse: jnp.ndarray     # inlier RMSE
     inlier_frac: jnp.ndarray
     success: jnp.ndarray  # bool
+    cov_diag: jnp.ndarray  # (6,) [omega, v] estimate covariance diagonal
+
+
+def se3_estimate_covariance(moved, w, sigma_sq):
+    """Gauss-Newton covariance of an SE(3) point-registration estimate.
+
+    cov = sigma^2 (J^T W J)^-1 with per-correspondence Jacobian
+    J_i = [-[a_i]_x | I_3] of the residual r_i = exp(xi^) a_i + v - d_i
+    w.r.t. the left-perturbation tangent [omega, v] (our SE(3)
+    convention), a_i = R s_i + t the transformed source point. This is
+    the covariance the reference propagates from rtabmap's
+    RegistrationVis / registration into loop-closure messages
+    (rgbd_handler.cpp:623, :703) and GTSAM builds noise models from
+    (decentralized_pgo.cpp:307-312).
+
+    Args:
+      moved: (N, 3) source points mapped into the destination frame.
+      w: (N,) inlier weights.
+      sigma_sq: scalar residual variance (e.g. inlier rmse^2).
+
+    Returns (6,) covariance diagonal. Degenerate geometry (rank-deficient
+    J^T W J) is regularized, giving large-but-finite variances.
+    """
+    a = moved
+    zeros = jnp.zeros(a.shape[0])
+    # A_i = skew(a_i), rows stacked: (N, 3, 3)
+    A = jnp.stack([
+        jnp.stack([zeros, -a[:, 2], a[:, 1]], axis=-1),
+        jnp.stack([a[:, 2], zeros, -a[:, 0]], axis=-1),
+        jnp.stack([-a[:, 1], a[:, 0], zeros], axis=-1),
+    ], axis=1)
+    eye = jnp.broadcast_to(jnp.eye(3), A.shape)
+    J = jnp.concatenate([-A, eye], axis=2)  # (N, 3, 6)
+    H = jnp.einsum("nij,nik,n->jk", J, J, w)
+    H = H + 1e-4 * jnp.eye(6)
+    cov = jnp.maximum(sigma_sq, 1e-8) * jnp.linalg.inv(H)
+    return jnp.diag(cov)
 
 
 def weighted_kabsch(src, dst, w):
@@ -122,8 +159,11 @@ def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
     rmse = jnp.sqrt(
         jnp.sum(jnp.where(inlier, d2, 0.0)) /
         jnp.maximum(jnp.sum(inlier), 1.0))
+    cov_diag = se3_estimate_covariance(
+        moved, inlier.astype(jnp.float32), rmse * rmse)
     return RegistrationResult(R=R, t=t, rmse=rmse, inlier_frac=inlier_frac,
-                              success=inlier_frac > fitness_threshold)
+                              success=inlier_frac > fitness_threshold,
+                              cov_diag=cov_diag)
 
 
 def yaw_rotation(yaw_rad):
