@@ -46,16 +46,25 @@ def _measure_chain_slope(chain_fn, make_queries, k1=8, k2=16, reps=5):
     only real device time scales with K. Every rep uses fresh inputs
     (the runtime memoizes identical (executable, args) executions).
     """
+    import jax
     for kk in (k1, k2):  # compile both executables
         acc, idx = chain_fn(make_queries(kk, seed=10_000 + kk))
         np.asarray(acc), np.asarray(idx)
+    # Pre-place every query batch on device and wait: otherwise the
+    # timed region measures the H2D upload of the extra (k2-k1) batches
+    # over the tunnel, not the kNN (first attempt measured exactly that:
+    # ~40 ms/batch "slope" = ~4 MB of queries at tunnel bandwidth).
+    qs1 = [jax.block_until_ready(make_queries(k1, seed=2 * r))
+           for r in range(reps)]
+    qs2 = [jax.block_until_ready(make_queries(k2, seed=2 * r + 1))
+           for r in range(reps)]
     slopes = []
     for r in range(reps):
         t0 = time.perf_counter()
-        acc, idx = chain_fn(make_queries(k1, seed=2 * r))
+        acc, idx = chain_fn(qs1[r])
         np.asarray(acc), np.asarray(idx)
         t1 = time.perf_counter()
-        acc, idx = chain_fn(make_queries(k2, seed=2 * r + 1))
+        acc, idx = chain_fn(qs2[r])
         np.asarray(acc), np.asarray(idx)
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))

@@ -40,6 +40,14 @@ class FrontendConfig:
     # Sensor handler (map_manager / rgbd_handler params)
     max_queue_size: int = 10
     pnp_min_inliers: int = 6
+    # Local-feature pipeline: "classical" (corners + patch descriptors)
+    # or "learned" (SuperPoint + LightGlue — the reference fork's
+    # runtime path; weights via models/convert.py or models/onnx_import)
+    features: str = "classical"
+    superpoint_checkpoint: str = ""
+    lightglue_checkpoint: str = ""
+    lightglue_layers: int = 9
+    lightglue_score_threshold: float = 0.1
     keyframe_generation_ratio_threshold: float = 1.0
     map_manager_process_period_ms: int = 100
     odom_topic: str = "odom"

@@ -69,6 +69,24 @@ class RGBDHandler:
         self.keyframe_ratio = params.get(
             "frontend.keyframe_generation_ratio_threshold", 1.0)
         self.min_inliers = params.get("frontend.pnp_min_inliers", 6)
+        # feature pipeline: "classical" = corner detector + patch
+        # descriptors (ops/features.py); "learned" = SuperPoint
+        # extraction + LightGlue matching, the reference fork's runtime
+        # path (rgbd_handler.cpp:263-315 extraction, :317-412 matching).
+        self.features_mode = params.get("frontend.features", "classical")
+        self.superpoint = None
+        self.lightglue = None
+        if self.features_mode == "learned":
+            from cslam_tpu.models.lightglue import LightGlue
+            from cslam_tpu.models.superpoint import SuperPoint
+            self.superpoint = SuperPoint(
+                checkpoint=params.get("frontend.superpoint_checkpoint", ""),
+                max_keypoints=max_keypoints)
+            self.lightglue = LightGlue(
+                checkpoint=params.get("frontend.lightglue_checkpoint", ""),
+                num_layers=params.get("frontend.lightglue_layers", 9),
+                score_threshold=params.get(
+                    "frontend.lightglue_score_threshold", 0.1))
         self.nb_local_keyframes = 0
         self.local_keyframes: Dict[int, LocalKeyframe] = {}
         self.previous_keyframe: Optional[LocalKeyframe] = None
@@ -173,8 +191,12 @@ class RGBDHandler:
             dtype=jnp.float32)
         if img.ndim == 3:
             img = jnp.mean(img, axis=-1)
-        xy, desc, scores, mask = features.extract_features(
-            img, max_keypoints=self.max_keypoints)
+        if self.superpoint is not None:
+            xy, desc, scores, mask = self.superpoint.extract_features(
+                img, max_keypoints=self.max_keypoints)
+        else:
+            xy, desc, scores, mask = features.extract_features(
+                img, max_keypoints=self.max_keypoints)
         xs = np.clip(np.asarray(xy[:, 0]).astype(np.int32), 0,
                      depth.shape[1] - 1)
         ys = np.clip(np.asarray(xy[:, 1]).astype(np.int32), 0,
@@ -189,9 +211,22 @@ class RGBDHandler:
         return (np.asarray(xy), np.asarray(desc), pts3d,
                 mask.astype(np.float32))
 
-    def _verify(self, kf_a: LocalKeyframe, desc_b, pts_b, mask_b, seed=0):
+    def _verify(self, kf_a: LocalKeyframe, desc_b, pts_b, mask_b, seed=0,
+                xy_b=None):
         """Match + robust 3D alignment; returns (RansacResult, n_matches).
-        Pose maps frame-a points into frame b."""
+        Pose maps frame-a points into frame b. With frontend.features:
+        learned, matching is LightGlue (reference setMatches,
+        rgbd_handler.cpp:317-412); otherwise mutual-NN + ratio test."""
+        if self.lightglue is not None and xy_b is not None:
+            idx1, valid = self.lightglue.match(
+                kf_a.descriptors, kf_a.keypoints, kf_a.mask,
+                desc_b, xy_b, mask_b)
+            matched = np.asarray(pts_b)[idx1]
+            result = matching2d.ransac_rigid3d(
+                jnp.asarray(kf_a.points3d), jnp.asarray(matched),
+                jnp.asarray(valid * kf_a.mask),
+                min_inliers=self.min_inliers, seed=seed)
+            return result, float(valid.sum())
         return matching2d.verify_keyframe_pair(
             jnp.asarray(kf_a.descriptors), jnp.asarray(kf_a.points3d),
             jnp.asarray(kf_a.mask), jnp.asarray(desc_b),
@@ -205,7 +240,8 @@ class RGBDHandler:
             return True
         result, _ = self._verify(self.previous_keyframe,
                                  candidate.descriptors,
-                                 candidate.points3d, candidate.mask)
+                                 candidate.points3d, candidate.mask,
+                                 xy_b=candidate.keypoints)
         n_valid = max(float(np.asarray(candidate.mask).sum()), 1.0)
         inlier_ratio = float(result.num_inliers) / n_valid
         return inlier_ratio < self.keyframe_ratio
@@ -269,7 +305,8 @@ class RGBDHandler:
                 continue
             mask_b = np.ones(len(msg.points3d), dtype=np.float32)
             result, _ = self._verify(kf, msg.descriptors.astype(np.float32),
-                                     msg.points3d, mask_b)
+                                     msg.points3d, mask_b,
+                                     xy_b=msg.keypoints)
             # result pose maps my frame -> sender frame; between
             # measurement must be X_robot0^-1 X_robot1 with robot0 < robot1
             R_mine_to_sender = np.asarray(result.R)
@@ -306,7 +343,7 @@ class RGBDHandler:
         if kf0 is None or kf1 is None:
             return
         result, _ = self._verify(kf0, kf1.descriptors, kf1.points3d,
-                                 kf1.mask)
+                                 kf1.mask, xy_b=kf1.keypoints)
         # estimated T maps kf0 camera points into kf1 camera frame:
         # T = X_1^-1 X_0; between measurement X_0^-1 X_1 = T^-1
         R = np.asarray(result.R)

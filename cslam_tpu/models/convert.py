@@ -101,6 +101,54 @@ def convert_superpoint(state: Dict) -> Dict[str, np.ndarray]:
     return out
 
 
+def convert_lightglue(state: Dict, num_layers: int = 9) -> Dict:
+    """Official cvg/LightGlue state_dict -> models.lightglue.LightGlueNet.
+
+    torch names: posenc.Wr.weight; transformers.{i}.self_attn.{Wqkv,
+    out_proj,ffn.0,ffn.1,ffn.3}; transformers.{i}.cross_attn.{to_qk,to_v,
+    to_out,ffn.*}; log_assignment.{i}.{final_proj,matchability}. Only the
+    last assignment head is used at full depth (early-exit heads are a
+    dynamic-shape GPU optimization); token_confidence is skipped.
+    input_proj exists only when input_dim != descriptor_dim."""
+    out: Dict[str, np.ndarray] = {}
+
+    def dense(torch_key, flax_path, bias=True):
+        out[f"params/{flax_path}/kernel"] = _dense(state[f"{torch_key}.weight"])
+        if bias:
+            out[f"params/{flax_path}/bias"] = np.asarray(
+                state[f"{torch_key}.bias"])
+
+    def layernorm(torch_key, flax_path):
+        out[f"params/{flax_path}/scale"] = np.asarray(
+            state[f"{torch_key}.weight"])
+        out[f"params/{flax_path}/bias"] = np.asarray(state[f"{torch_key}.bias"])
+
+    dense("posenc.Wr", "posenc_Wr", bias=False)
+    if "input_proj.weight" in state:
+        dense("input_proj", "input_proj")
+    for i in range(num_layers):
+        tp = f"transformers.{i}.self_attn"
+        fp = f"transformers_{i}_self_attn"
+        dense(f"{tp}.Wqkv", f"{fp}/Wqkv")
+        dense(f"{tp}.out_proj", f"{fp}/out_proj")
+        dense(f"{tp}.ffn.0", f"{fp}/ffn_0")
+        layernorm(f"{tp}.ffn.1", f"{fp}/ffn_1")
+        dense(f"{tp}.ffn.3", f"{fp}/ffn_3")
+        tp = f"transformers.{i}.cross_attn"
+        fp = f"transformers_{i}_cross_attn"
+        dense(f"{tp}.to_qk", f"{fp}/to_qk")
+        dense(f"{tp}.to_v", f"{fp}/to_v")
+        dense(f"{tp}.to_out", f"{fp}/to_out")
+        dense(f"{tp}.ffn.0", f"{fp}/ffn_0")
+        layernorm(f"{tp}.ffn.1", f"{fp}/ffn_1")
+        dense(f"{tp}.ffn.3", f"{fp}/ffn_3")
+    last = num_layers - 1
+    dense(f"log_assignment.{last}.final_proj", "log_assignment/final_proj")
+    dense(f"log_assignment.{last}.matchability",
+          "log_assignment/matchability")
+    return out
+
+
 def convert_netvlad_layer(state: Dict, prefix: str = "pool.") -> Dict:
     """NetVLAD layer (centroids + 1x1 assignment conv) ->
     models.netvlad.NetVLADLayer params."""
@@ -129,6 +177,7 @@ def convert_torch_checkpoint(torch_path: str, out_path: str,
     converters = {
         "cosplace": convert_cosplace,
         "superpoint": convert_superpoint,
+        "lightglue": convert_lightglue,
         "netvlad": convert_netvlad_layer,
     }
     flat = converters[model](state)

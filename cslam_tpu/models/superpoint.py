@@ -100,8 +100,24 @@ class SuperPoint:
         dummy = jnp.zeros((1, 64, 64, 1), dtype=jnp.float32)
         if checkpoint and checkpoint != "disable":
             from flax.traverse_util import unflatten_dict
-            with np.load(checkpoint, allow_pickle=True) as data:
-                flat = {k: jnp.asarray(v) for k, v in data.items()}
+            if checkpoint.endswith(".onnx"):
+                # the checkpoints the reference distributes
+                # (models/download.sh -> lightglue_onnx superpoint.onnx)
+                from cslam_tpu.models.onnx_import import \
+                    convert_superpoint_onnx
+                flat = {k: jnp.asarray(v)
+                        for k, v in convert_superpoint_onnx(checkpoint).items()}
+            elif checkpoint.endswith((".pth", ".pt", ".tar")):
+                from cslam_tpu.models.convert import convert_torch_checkpoint
+                import tempfile, os
+                with tempfile.TemporaryDirectory() as d:
+                    npz = os.path.join(d, "w.npz")
+                    flat = {k: jnp.asarray(v) for k, v in
+                            convert_torch_checkpoint(
+                                checkpoint, npz, model="superpoint").items()}
+            else:
+                with np.load(checkpoint, allow_pickle=True) as data:
+                    flat = {k: jnp.asarray(v) for k, v in data.items()}
             self.variables = unflatten_dict(
                 {tuple(k.split("/")): v for k, v in flat.items()})
         else:
