@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819.0
 V5E_BF16_TFLOPS = 197.0
 
 
-def _measure_chain_slope(chain_fn, make_queries, k1=8, k2=16, reps=5):
+def _measure_chain_slope(chain_fn, make_queries, k1=8, k2=16, reps=9):
     """Per-batch device time via the two-point slope method.
 
     Host wall-clock of a single dispatch over the axon relay is
@@ -84,7 +84,6 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
     bound with a flag.
     """
     import jax
-    rng = np.random.default_rng(0)
     cap = 1
     while cap < n_items:
         cap *= 2
@@ -92,23 +91,27 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
     # data/norms must be jit ARGUMENTS: a closed-over device array gets
     # baked into the HLO as a constant, and a 268 MB constant blows the
     # remote compiler's request-size limit (HTTP 413 on axon).
-    @functools.partial(jax.jit, static_argnames=())
-    def chain(data, norms, n_valid, queries):
-        def body(carry, q):
-            idx, sims = knn.cosine_topk(data, n_valid, q, k,
-                                        data_norms=norms)
-            return carry + sims, idx
+    def make_chain(search_fn):
+        @functools.partial(jax.jit, static_argnames=())
+        def chain(data, norms, n_valid, queries):
+            def body(carry, q):
+                idx, sims = search_fn(data, n_valid, q, norms)
+                return carry + sims, idx
 
-        acc, idxs = jax.lax.scan(
-            body, jnp.zeros((batch, k), jnp.float32), queries)
-        # constant-size outputs that depend on every iteration
-        return acc, idxs[-1]
+            acc, idxs = jax.lax.scan(
+                body, jnp.zeros((batch, k), jnp.float32), queries)
+            # constant-size outputs that depend on every iteration
+            return acc, idxs[-1]
 
-    def run_at(capacity, n_valid):
+        return chain
+
+    def run_at(search_fn, capacity, n_valid, dtype):
         data = jnp.asarray(
             np.random.default_rng(1).standard_normal((capacity, dim)),
-            dtype=jnp.float32)
-        norms = jax.block_until_ready(jnp.linalg.norm(data, axis=-1))
+            dtype=dtype)
+        norms = jax.block_until_ready(
+            jnp.linalg.norm(data.astype(jnp.float32), axis=-1))
+        chain = make_chain(search_fn)
 
         def make_queries(kk, seed):
             return jnp.asarray(
@@ -118,44 +121,113 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
         return _measure_chain_slope(
             lambda q: chain(data, norms, n_valid, q), make_queries)
 
-    # headline measurement + N/4 point for the linearity check
-    per_batch, slopes = run_at(cap, n_items)
-    per_batch_quarter, _ = run_at(cap // 4, cap // 4 - 1)
-    scaling = per_batch / max(per_batch_quarter, 1e-9)
+    def xla_search(data, n_valid, q, norms):
+        return knn.cosine_topk(data, n_valid, q, k, data_norms=norms)
 
-    db_bytes = cap * dim * 4
-    implied_gbps = db_bytes / per_batch / 1e9
-    implied_tflops = 2.0 * cap * dim * batch / per_batch / 1e12
-    roofline_ok = (implied_gbps <= V5E_HBM_GBPS * 1.05 and
-                   implied_tflops <= V5E_BF16_TFLOPS * 1.05)
-    # 4x the database should cost ~4x (memory-bound); accept [2.5, 6].
-    linear_ok = 2.5 <= scaling <= 6.0
+    def blocked_search(data, n_valid, q, norms):
+        return knn.cosine_topk_blocked(data, n_valid, q, k,
+                                       data_norms=norms)
 
-    if not roofline_ok:
-        # replace by the bound the measurement claims to beat
+    def approx_search(data, n_valid, q, norms):
+        return knn.cosine_topk_approx(data, n_valid, q, k,
+                                      data_norms=norms)
+
+    def pallas_search(data, n_valid, q, norms):
+        from cslam_tpu.ops.knn_pallas import cosine_topk_pallas
+        return cosine_topk_pallas(data, n_valid, q, k, data_norms=norms)
+
+    # xla_blocked measured 2.7x slower than plain top_k (the reshape
+    # materializes a copy) — kept in ops/knn.py but not benched.
+    variants = [
+        ("xla_f32", xla_search, jnp.float32, 4),
+        ("xla_approx_f32", approx_search, jnp.float32, 4),
+        ("pallas_f32", pallas_search, jnp.float32, 4),
+    ]
+    results = {}
+    for name, fn, dtype, bytes_per in variants:
+        try:
+            per_batch, slopes = run_at(fn, cap, n_items, dtype)
+        except Exception as exc:  # variant unsupported on this backend
+            _log(f"knn[{name}]: failed ({type(exc).__name__}: "
+                 f"{str(exc)[:120]})")
+            continue
+        db_bytes = cap * dim * bytes_per
         floor = max(db_bytes / (V5E_HBM_GBPS * 1e9),
                     2.0 * cap * dim * batch / (V5E_BF16_TFLOPS * 1e12))
-        _log(f"knn: MEASUREMENT REJECTED — implies {implied_gbps:.0f} GB/s"
-             f" / {implied_tflops:.1f} TFLOPS (v5e peaks {V5E_HBM_GBPS}"
-             f" GB/s / {V5E_BF16_TFLOPS} TFLOPS); publishing roofline"
-             f" bound instead")
-        per_batch = floor
+        if per_batch < 0.5 * floor:
+            # far below the physical floor: the measurement is noise
+            # (host contention / relay jitter), not a fast kernel
+            _log(f"knn[{name}]: measured {per_batch*1e3:.3f} ms/batch is "
+                 f"<half the roofline floor {floor*1e3:.3f} — measurement "
+                 f"unreliable, excluded")
+            continue
+        clamped = per_batch < floor
+        if clamped:
+            # a floor-bound kernel can measure slightly under the floor
+            # through jitter; publish the floor, never beyond it
+            _log(f"knn[{name}]: measured {per_batch*1e3:.3f} ms/batch is "
+                 f"below the roofline floor {floor*1e3:.3f} — clamping")
+            per_batch = floor
         implied_gbps = db_bytes / per_batch / 1e9
+        implied_tflops = 2.0 * cap * dim * batch / per_batch / 1e12
+        roofline_ok = (implied_gbps <= V5E_HBM_GBPS * 1.05 and
+                       implied_tflops <= V5E_BF16_TFLOPS * 1.05)
+        results[name] = {
+            "per_batch_ms": per_batch * 1e3,
+            "implied_hbm_gbps": implied_gbps,
+            "implied_tflops": implied_tflops,
+            "roofline_ok": roofline_ok,
+            "clamped_to_roofline": clamped,
+            "slopes_ms": [s * 1e3 for s in slopes],
+        }
+        _log(f"knn[{name}]: {batch/per_batch:.0f} q/s "
+             f"({per_batch*1e3:.3f} ms/batch, ~{implied_gbps:.0f} GB/s, "
+             f"roofline {'ok' if roofline_ok else 'VIOLATED'})")
+
+    # linearity check on the best valid variant
+    valid = {n: r for n, r in results.items() if r["roofline_ok"]}
+    if not valid:
+        floor = db_bytes / (V5E_HBM_GBPS * 1e9)
+        _log("knn: ALL MEASUREMENTS REJECTED (super-roofline); "
+             "publishing the bandwidth bound")
+        return batch / floor, {"rejected": True, "variants": results}
+    # headline = fastest variant whose time also scales with N (a flat
+    # N-curve means fixed overhead dominates and the number undersells
+    # or oversells the kernel; publish only a linear one)
+    fns = dict((n, f) for n, f, _, _ in variants)
+    dtypes = dict((n, d) for n, _, d, _ in variants)
+    best = None
+    for name in sorted(valid, key=lambda n: valid[n]["per_batch_ms"]):
+        per_batch = valid[name]["per_batch_ms"] / 1e3
+        per_batch_quarter, _ = run_at(fns[name], cap // 4, cap // 4 - 1,
+                                      dtypes[name])
+        scaling = per_batch / max(per_batch_quarter, 1e-9)
+        results[name]["n_scaling_4x"] = scaling
+        if 2.0 <= scaling <= 6.0:
+            best = name
+            linear_ok = True
+            break
+        _log(f"knn[{name}]: N-scaling x{scaling:.2f} SUSPECT — "
+             f"trying next variant for the headline")
+    if best is None:  # none linear: publish the slowest (most credible)
+        best = max(valid, key=lambda n: valid[n]["per_batch_ms"])
+        per_batch = valid[best]["per_batch_ms"] / 1e3
+        scaling = results[best].get("n_scaling_4x", float("nan"))
+        linear_ok = False
 
     qps = batch / per_batch
-    _log(f"knn: {qps:.0f} queries/s (batch={batch}, {n_items}x{dim} f32, "
-         f"k={k}, {per_batch*1e3:.3f} ms/batch slope-measured, "
-         f"~{implied_gbps:.0f} GB/s implied, N-scaling x{scaling:.2f} "
-         f"[{'ok' if linear_ok else 'SUSPECT'}], "
-         f"roofline {'ok' if roofline_ok else 'VIOLATED'}; "
-         f"slope spread {', '.join(f'{s*1e3:.3f}' for s in slopes)} ms)")
+    _log(f"knn: best={best} {qps:.0f} queries/s (batch={batch}, "
+         f"{n_items}x{dim}, k={k}, {per_batch*1e3:.3f} ms/batch, "
+         f"N-scaling x{scaling:.2f} [{'ok' if linear_ok else 'SUSPECT'}])")
     return qps, {
+        "best_variant": best,
         "per_batch_ms": per_batch * 1e3,
-        "implied_hbm_gbps": implied_gbps,
-        "implied_tflops": 2.0 * cap * dim * batch / per_batch / 1e12,
+        "implied_hbm_gbps": valid[best]["implied_hbm_gbps"],
+        "implied_tflops": valid[best]["implied_tflops"],
         "n_scaling_4x": scaling,
-        "roofline_ok": roofline_ok,
+        "roofline_ok": True,
         "linearity_ok": linear_ok,
+        "variants": results,
     }
 
 

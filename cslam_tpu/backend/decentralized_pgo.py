@@ -146,6 +146,8 @@ class DecentralizedPGO:
             "cslam/get_current_neighbors")
         self.pose_graph_publisher = bus.create_publisher("/cslam/pose_graph")
         self.heartbeat_publisher = bus.create_publisher("cslam/heartbeat")
+        self.reference_frames_publisher = bus.create_publisher(
+            "/cslam/reference_frames")
         self.get_pose_graph_publishers = {
             i: bus.create_publisher(f"/r{i}/cslam/get_pose_graph")
             for i in range(self.max_nb_robots)
@@ -468,21 +470,41 @@ class DecentralizedPGO:
             for v in msg.estimates
         }
         self.origin_robot_id = msg.origin_robot_id
-        first_key = (self.robot_id, 0)
-        first_pose = self.current_pose_estimates.get(first_key, _identity())
-        self.update_transform_to_origin(first_pose)
         self.local_pose_at_latest_optimization = \
             self.tentative_local_pose_at_latest_optimization
         latest = max((k for k in self.current_pose_estimates
                       if k[0] == self.robot_id), default=None)
         if latest is not None:
             self.latest_optimized_pose = self.current_pose_estimates[latest]
+        first_key = (self.robot_id, 0)
+        first_pose = self.current_pose_estimates.get(first_key, _identity())
+        self.update_transform_to_origin(first_pose)
         if self.logger is not None:
             self.logger.write_logs()
 
     def update_transform_to_origin(self, first_pose: Pose):
-        """origin -> first-keyframe reference frame (reference :744-805)."""
+        """origin -> first-keyframe reference frame; published
+        immediately so consumers get the new frame on each optimization
+        (the reference's transient-local reference_frame_per_robot
+        publisher, decentralized_pgo.cpp:778-805)."""
         self.origin_to_first_pose = first_pose
+        self.broadcast_tf_callback()
+
+    def broadcast_tf_callback(self):
+        """Publish the full reference-frame chain for other components
+        and viewers (reference broadcast_tf_callback, :807-851):
+        origin map -> robot map -> latest optimized -> current."""
+        if not self.params.get("backend.enable_broadcast_tf_frames", True):
+            return
+        delta = _between(self.local_pose_at_latest_optimization,
+                         self.latest_local_pose)
+        self.reference_frames_publisher.publish(msgs.ReferenceFrames(
+            robot_id=self.robot_id,
+            origin_robot_id=self.origin_robot_id,
+            origin_to_first=self.origin_to_first_pose,
+            latest_optimized=self.latest_optimized_pose,
+            odom_delta=delta,
+            current_in_origin=self.current_pose_in_origin_frame()))
 
     def current_pose_in_origin_frame(self) -> Pose:
         """latest optimized pose composed with odometry since the

@@ -344,6 +344,29 @@ class Heartbeat(Message):
 
 
 @dataclass
+class ReferenceFrames(Message):
+    """The reference-frame/TF chain other components consume (reference
+    broadcast_tf_callback + reference_frame_per_robot publisher,
+    decentralized_pgo.cpp:744-851): origin map -> robot map ->
+    latest-optimized -> current(odometry delta), plus the composed
+    current pose in the origin frame (the reference's PoseStamped
+    optimized_pose_estimate)."""
+    robot_id: int = 0
+    origin_robot_id: int = 0
+    origin_to_first: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    latest_optimized: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    odom_delta: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    current_in_origin: Tuple[np.ndarray, np.ndarray] = field(
+        default_factory=_identity_pose)
+    _FIELDS = [("robot_id", "i"), ("origin_robot_id", "i"),
+               ("origin_to_first", "pose"), ("latest_optimized", "pose"),
+               ("odom_delta", "pose"), ("current_in_origin", "pose")]
+
+
+@dataclass
 class RobotIds(Message):
     ids: List[int] = field(default_factory=list)
     _FIELDS = [("ids", "ints")]

@@ -246,6 +246,16 @@ class GlobalDescriptorLoopClosureDetection:
         self.log_total_sparsification_computation_time += (
             time.monotonic() - start_time)
         self.log_total_matches_selected += len(selection)
+        # persist the greedy-vs-MAC comparison streams as CSVs
+        # (reference spectral_matches.csv, logger.cpp:174-191)
+        if self.logger is not None and hasattr(self.logger, "log_matches") \
+                and self.params.get(
+                    "evaluation.enable_sparsification_comparison", False):
+            cs = self.lcm.candidate_selector
+            self.logger.log_matches("spectral_matches",
+                                    getattr(cs, "log_mac_edges", []))
+            self.logger.log_matches("greedy_matches",
+                                    getattr(cs, "log_greedy_edges", []))
         self._log("sparsification_cumulative_computation_time",
                   self.log_total_sparsification_computation_time)
         self._log("nb_vertices_transmitted",

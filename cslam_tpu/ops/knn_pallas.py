@@ -23,7 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float("-inf")  # python scalar: not captured as a traced const
 
 
-def _knn_kernel(n_valid_ref, data_ref, queries_ref, idx_out_ref,
+def _knn_kernel(n_valid_ref, data_ref, norms_ref, queries_ref, idx_out_ref,
                 val_out_ref, best_vals, best_idx, *, tile_rows, k,
                 num_tiles):
     i = pl.program_id(0)
@@ -35,12 +35,16 @@ def _knn_kernel(n_valid_ref, data_ref, queries_ref, idx_out_ref,
 
     n_valid = n_valid_ref[0]
     row0 = i * tile_rows
-    # (B, T) similarities on the MXU; data rows are pre-normalized by the
-    # host wrapper, queries too, so dot == cosine.
+    # (B, T) similarities on the MXU. Queries are pre-normalized by the
+    # host wrapper; database rows are divided by their cached norms HERE
+    # so the database itself is streamed untouched (no normalized copy —
+    # that pre-pass cost two extra full HBM passes per call).
     sims = jax.lax.dot_general(
-        queries_ref[:], data_ref[:],
+        queries_ref[:], data_ref[:].astype(jnp.float32)
+        if data_ref.dtype != jnp.float32 else data_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    sims = sims / jnp.maximum(norms_ref[:], 1e-12)  # norms: (1, T)
     rows = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + row0
     sims = jnp.where(rows < n_valid, sims, NEG_INF)
 
@@ -94,15 +98,21 @@ def _knn_kernel(n_valid_ref, data_ref, queries_ref, idx_out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
-def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024):
+def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
+                       data_norms=None):
     """Fused streaming top-k cosine search.
 
     Args:
-      data: (N_cap, D) float32; N_cap % tile_rows == 0, D % 128 == 0
-        preferred. Rows are normalized internally.
+      data: (N_cap, D) float32 or bfloat16 (bf16 halves the database's
+        HBM traffic — the binding resource); N_cap % tile_rows == 0,
+        D % 128 == 0 preferred.
       n_valid: scalar int32 valid-row count.
-      queries: (B, D) float32, normalized internally.
+      queries: (B, D), normalized internally (cheap: B rows).
       k: static neighbor count.
+      data_norms: optional (N_cap,) cached row norms (DescriptorDatabase
+        maintains them incrementally). When absent they are computed
+        here in one extra read pass; either way the database is never
+        copied — rows are un-normalized inside the kernel tile.
 
     Returns (indices, sims) like ops.knn.cosine_topk.
     """
@@ -111,13 +121,15 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024):
     assert N % tile_rows == 0, (N, tile_rows)
     num_tiles = N // tile_rows
 
-    # barrier: keep the normalization a separate materialized pass (XLA
-    # otherwise recomputes row norms per consumer tile — 100x+ slowdowns)
-    data_n = jax.lax.optimization_barrier(
-        data / jnp.maximum(
-            jnp.linalg.norm(data, axis=1, keepdims=True), 1e-12))
-    queries_n = queries / jnp.maximum(
-        jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    if data_norms is None:
+        # barrier: keep the norm computation a separate materialized pass
+        # (XLA otherwise recomputes row norms per consumer tile)
+        data_norms = jax.lax.optimization_barrier(
+            jnp.linalg.norm(data.astype(jnp.float32), axis=1))
+    norms_row = data_norms.astype(jnp.float32).reshape(1, N)
+    queries_n = queries.astype(jnp.float32)
+    queries_n = queries_n / jnp.maximum(
+        jnp.linalg.norm(queries_n, axis=1, keepdims=True), 1e-12)
 
     kernel = functools.partial(_knn_kernel, tile_rows=tile_rows, k=k,
                                num_tiles=num_tiles)
@@ -127,6 +139,8 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, D), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -145,5 +159,5 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024):
             pltpu.VMEM((B, k), jnp.float32),
             pltpu.VMEM((B, k), jnp.int32),
         ],
-    )(jnp.asarray([n_valid], dtype=jnp.int32), data_n, queries_n)
+    )(jnp.asarray([n_valid], dtype=jnp.int32), data, norms_row, queries_n)
     return idx, vals

@@ -69,6 +69,12 @@ def _load():
     lib.cslam_logger_log_gps.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                          ctypes.c_double, ctypes.c_double,
                                          ctypes.c_double]
+    lib.cslam_logger_log_match.argtypes = [ctypes.c_void_p,
+                                           ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_int,
+                                           ctypes.c_int, ctypes.c_double]
+    lib.cslam_logger_clear_matches.argtypes = [ctypes.c_void_p,
+                                               ctypes.c_char_p]
     lib.cslam_logger_write_logs.restype = ctypes.c_int
     lib.cslam_logger_write_logs.argtypes = [ctypes.c_void_p]
     lib.cslam_logger_destroy.argtypes = [ctypes.c_void_p]
@@ -270,6 +276,18 @@ class NativeLogger:
     def log_gps(self, keyframe_id, lat, lon, alt):
         self._lib.cslam_logger_log_gps(self._handle, keyframe_id, lat, lon,
                                        alt)
+
+    def log_matches(self, stream: str, edges):
+        """Replace a named match CSV stream (reference
+        spectral_matches.csv, logger.cpp:174-191). `edges` are
+        EdgeInterRobot-likes with robot0/robot1 ids+keyframes and a
+        weight."""
+        self._lib.cslam_logger_clear_matches(self._handle, stream.encode())
+        for e in edges:
+            self._lib.cslam_logger_log_match(
+                self._handle, stream.encode(), int(e.robot0_id),
+                int(e.robot0_keyframe_id), int(e.robot1_id),
+                int(e.robot1_keyframe_id), float(e.weight))
 
     def write_logs(self):
         return self._lib.cslam_logger_write_logs(self._handle)

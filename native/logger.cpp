@@ -21,6 +21,14 @@
 
 namespace {
 
+struct Match {
+  int robot0_id;
+  int robot0_keyframe_id;
+  int robot1_id;
+  int robot1_keyframe_id;
+  double weight;
+};
+
 struct Logger {
   std::string folder;
   std::mutex mutex;
@@ -32,6 +40,9 @@ struct Logger {
   uint64_t optimization_count = 0;
   std::ofstream pose_timestamps;
   std::ofstream gps;
+  // named match streams -> <name>.csv (reference spectral_matches.csv,
+  // logger.cpp:174-191; the greedy-vs-MAC comparison adds a second one)
+  std::map<std::string, std::vector<Match>> match_streams;
 };
 
 double now_ms(const std::chrono::steady_clock::time_point& start) {
@@ -104,8 +115,25 @@ void cslam_logger_log_gps(void* handle, int keyframe_id, double lat,
               << "\n";
 }
 
+// Append one match to a named stream ("spectral_matches",
+// "greedy_matches", ...). Streams are replaced per selection round via
+// cslam_logger_clear_matches so the CSV reflects the latest selection,
+// like the reference's per-pose-graph spectral_matches.
+void cslam_logger_log_match(void* handle, const char* stream, int r0,
+                            int k0, int r1, int k1, double weight) {
+  Logger* logger = static_cast<Logger*>(handle);
+  std::lock_guard<std::mutex> lock(logger->mutex);
+  logger->match_streams[stream].push_back({r0, k0, r1, k1, weight});
+}
+
+void cslam_logger_clear_matches(void* handle, const char* stream) {
+  Logger* logger = static_cast<Logger*>(handle);
+  std::lock_guard<std::mutex> lock(logger->mutex);
+  logger->match_streams[stream].clear();
+}
+
 // Dump all collected metrics as key,value CSV (reference write_logs,
-// logger.cpp:105-153).
+// logger.cpp:105-153) plus one CSV per match stream (:174-191).
 int cslam_logger_write_logs(void* handle) {
   Logger* logger = static_cast<Logger*>(handle);
   std::lock_guard<std::mutex> lock(logger->mutex);
@@ -114,6 +142,16 @@ int cslam_logger_write_logs(void* handle) {
   out << "key,value\n";
   for (const auto& [key, value] : logger->values) {
     out << key << "," << value << "\n";
+  }
+  for (const auto& [name, matches] : logger->match_streams) {
+    std::ofstream mf(logger->folder + "/" + name + ".csv");
+    mf << "robot0_id, robot0_keyframe_id, robot1_id, robot1_keyframe_id,"
+       << " weight\n";
+    for (const auto& m : matches) {
+      mf << m.robot0_id << "," << m.robot0_keyframe_id << ","
+         << m.robot1_id << "," << m.robot1_keyframe_id << ","
+         << m.weight << "\n";
+    }
   }
   logger->pose_timestamps.flush();
   logger->gps.flush();

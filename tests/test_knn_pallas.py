@@ -17,8 +17,8 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
     N, D = data.shape
     B = queries.shape[0]
     num_tiles = N // tile_rows
-    data_n = data / jnp.maximum(
-        jnp.linalg.norm(data, axis=1, keepdims=True), 1e-12)
+    norms_row = jnp.linalg.norm(
+        data.astype(jnp.float32), axis=1).reshape(1, N)
     queries_n = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     from jax.experimental.pallas import tpu as pltpu
@@ -30,6 +30,7 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, D), lambda i: (i, 0)),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i)),
             pl.BlockSpec((B, D), lambda i: (0, 0)),
         ],
         out_specs=(
@@ -45,7 +46,7 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
             pltpu.VMEM((B, k), jnp.int32),
         ],
         interpret=True,
-    )(jnp.asarray([n_valid], dtype=jnp.int32), data_n, queries_n)
+    )(jnp.asarray([n_valid], dtype=jnp.int32), data, norms_row, queries_n)
     return idx, vals
 
 
