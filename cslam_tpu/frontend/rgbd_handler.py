@@ -358,6 +358,228 @@ class RGBDHandler:
                                            dtype=np.float32)))
 
 
+class _RightImage:
+    """Marker wrapper distinguishing a rectified right image from a
+    dense depth map in the shared processing queue."""
+
+    __slots__ = ("data",)
+
+    def __init__(self, data):
+        self.data = data
+
+
+@dataclass
+class CameraInfo:
+    """Projection-matrix view of a camera info message: fx..cy from K,
+    tx = P(0,3) (the right camera of a rectified pair carries the
+    baseline as -tx/fx; stereo_handler.cpp:120,157-162)."""
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    tx: float = 0.0
+    width: int = 0
+    height: int = 0
+
+
 class StereoHandler(RGBDHandler):
-    """Stereo variant: same pipeline with disparity-derived depth
-    (reference stereo_handler.cpp subclassing RGBDHandler)."""
+    """Stereo variant of the pipeline (reference stereo_handler.cpp):
+
+    - 4-way approximate-time sync of left/right images + camera infos
+      (stereo_callback registration :32-41) through the same C++
+      synchronizer the RGBD path uses, instantiated with 4 streams;
+    - stereo camera-model construction with the reference's sanity
+      checks (:85-176): baseline = -P_right(0,3)/P_right(0,0), an
+      explicit-fallback path when Tx is unset (the reference reads TF;
+      here `frontend.stereo_baseline_fallback`), a hard error on
+      non-positive baseline and a once-only warning above 10 m;
+    - encoding validation (:50-86): mono/rgb/rgba u8/u16/float arrays
+      accepted, everything else dropped with an error;
+    - keypoint depth from batched scan-line ZNCC correspondence
+      (ops/stereo.py) instead of a dense depth image.
+    """
+
+    def __init__(self, params: Dict, bus, clock, max_keypoints: int = 256):
+        super().__init__(params, bus, clock, max_keypoints=max_keypoints)
+        self.camera_model: Optional[CameraIntrinsics] = None
+        self.max_disparity = int(params.get(
+            "frontend.stereo_max_disparity", 64))
+        self.min_zncc = params.get("frontend.stereo_min_zncc", 0.6)
+        self._warned_large_baseline = False
+        self._warned_fallback_baseline = False
+        self.log_dropped_frames = 0
+
+    # -- camera model ---------------------------------------------------
+    def stereo_camera_model(self, left: CameraInfo,
+                            right: CameraInfo) -> Optional[CameraIntrinsics]:
+        """Build-and-validate, mirroring stereo_handler.cpp:85-176."""
+        baseline = -right.tx / right.fx if right.fx else 0.0
+        if baseline == 0.0:
+            fallback = float(self.params.get(
+                "frontend.stereo_baseline_fallback", 0.0))
+            if fallback > 0.0:
+                if not self._warned_fallback_baseline:
+                    self._log_warn(
+                        "Right camera info doesn't have Tx set; using the "
+                        f"configured fallback baseline ({fallback} m). It is "
+                        "preferred to feed a valid right camera info. This "
+                        "message is only printed once...")
+                    self._warned_fallback_baseline = True
+                baseline = fallback
+        if baseline <= 0.0:
+            self._log_error(
+                f"The stereo baseline ({baseline}) should be positive "
+                "(baseline=-Tx/fx). We assume a horizontal left/right "
+                "stereo setup where the Tx (or P(0,3)) is negative in the "
+                "right camera info msg.")
+            return None
+        if baseline > 10.0 and not self._warned_large_baseline:
+            self._log_warn(
+                f"Detected baseline ({baseline} m) is quite large! Is your "
+                "right camera_info P(0,3) correctly set? Note that "
+                "baseline=-P(0,3)/P(0,0). This warning is printed only "
+                "once.")
+            self._warned_large_baseline = True
+        return CameraIntrinsics(fx=left.fx, fy=left.fy, cx=left.cx,
+                                cy=left.cy, baseline=baseline)
+
+    def _log_warn(self, text):
+        print(f"[stereo_handler r{self.robot_id}] WARN: {text}")
+
+    def _log_error(self, text):
+        print(f"[stereo_handler r{self.robot_id}] ERROR: {text}")
+
+    @staticmethod
+    def _validate_image(img) -> Optional[np.ndarray]:
+        """Accepted encodings (stereo_handler.cpp:50-86): mono8/mono16/
+        rgb/bgr/rgba/bgra (2-D, or 3-D with 1/3/4 channels), u8/u16/
+        float. Returns a mono float32 [0,1] image or None."""
+        a = np.asarray(img)
+        if a.ndim == 3 and a.shape[2] in (1, 3, 4):
+            a = a[..., :3].mean(axis=2) if a.shape[2] >= 3 else a[..., 0]
+        elif a.ndim != 2:
+            return None
+        if a.dtype == np.uint8:
+            return a.astype(np.float32) / 255.0
+        if a.dtype == np.uint16:
+            return a.astype(np.float32) / 65535.0
+        if np.issubdtype(a.dtype, np.floating):
+            return a.astype(np.float32)
+        return None
+
+    # -- 4-way synchronized streams ------------------------------------
+    _STREAM_LEFT, _STREAM_RIGHT, _STREAM_LINFO, _STREAM_RINFO = range(4)
+
+    def _ensure_sync(self):
+        if not hasattr(self, "_sync"):
+            from cslam_tpu.runtime.native import NativeSensorSync
+            self._sync = NativeSensorSync(
+                n_streams=4, slop=0.02, max_queue=self.max_queue_size,
+                odom_slop=0.03)
+            self._payloads = {}
+            self._next_payload = 1
+
+    def add_left_image(self, stamp: float, image: np.ndarray):
+        self._ensure_sync()
+        self._sync.push(self._STREAM_LEFT, stamp,
+                        self._store_payload(image))
+        self._drain_sync()
+
+    def add_right_image(self, stamp: float, image: np.ndarray):
+        self._ensure_sync()
+        self._sync.push(self._STREAM_RIGHT, stamp,
+                        self._store_payload(image))
+        self._drain_sync()
+
+    def add_camera_info_left(self, stamp: float, info: CameraInfo):
+        self._ensure_sync()
+        self._sync.push(self._STREAM_LINFO, stamp,
+                        self._store_payload(info))
+        self._drain_sync()
+
+    def add_camera_info_right(self, stamp: float, info: CameraInfo):
+        self._ensure_sync()
+        self._sync.push(self._STREAM_RINFO, stamp,
+                        self._store_payload(info))
+        self._drain_sync()
+
+    def _drain_sync(self):
+        """4-tuple (left, right, left_info, right_info) + aligned
+        odometry -> processing queue (stereo_callback :44-216)."""
+        while True:
+            taken = self._sync.take()
+            if taken is None:
+                return
+            stamp, ids = taken
+            left = self._payloads.pop(ids[self._STREAM_LEFT])
+            right = self._payloads.pop(ids[self._STREAM_RIGHT])
+            linfo = self._payloads.pop(ids[self._STREAM_LINFO])
+            rinfo = self._payloads.pop(ids[self._STREAM_RINFO])
+            odom = self._sync.lookup_odom(stamp)
+            if odom is None:
+                continue
+            pose = self._payloads[odom[0]]
+            self.add_stereo_pair(left, right, pose, left_info=linfo,
+                                 right_info=rinfo)
+
+    # -- direct (pre-synced) entry -------------------------------------
+    def add_stereo_pair(self, left: np.ndarray, right: np.ndarray,
+                        pose: Tuple[np.ndarray, np.ndarray],
+                        left_info: Optional[CameraInfo] = None,
+                        right_info: Optional[CameraInfo] = None):
+        """One rectified pair. The camera model is built from the first
+        valid info pair (the reference constructs it once,
+        stereo_handler.cpp:93) and reused afterwards."""
+        lm = self._validate_image(left)
+        rm = self._validate_image(right)
+        if lm is None or rm is None:
+            self._log_error(
+                "Input type must be image=mono8,mono16,rgb8,bgr8,rgba8,"
+                f"bgra8 (mono8 recommended), received shapes "
+                f"{np.shape(left)} / {np.shape(right)}")
+            self.log_dropped_frames += 1
+            return
+        if self.camera_model is None and left_info is not None \
+                and right_info is not None:
+            self.camera_model = self.stereo_camera_model(left_info,
+                                                         right_info)
+        if self.camera_model is None:
+            self.log_dropped_frames += 1
+            return
+        self.add_sensor_data(lm, _RightImage(rm), self.camera_model, pose)
+
+    # -- keypoint depth from stereo matching ---------------------------
+    def compute_local_descriptors(self, image, right,
+                                  intrinsics: CameraIntrinsics):
+        """Keypoints on the LEFT image; per-keypoint depth from the
+        batched scan-line correspondence kernel. Dense-depth samples
+        (the precomputed-disparity `add_stereo_data` path) fall through
+        to the RGBD pipeline."""
+        if not isinstance(right, _RightImage):
+            return super().compute_local_descriptors(image, right,
+                                                     intrinsics)
+        right = right.data
+        from cslam_tpu.ops import stereo as stereo_ops
+        img = jnp.asarray(
+            np.asarray(image, dtype=np.float32) / 255.0
+            if np.asarray(image).dtype == np.uint8 else image,
+            dtype=jnp.float32)
+        if img.ndim == 3:
+            img = jnp.mean(img, axis=-1)
+        if self.superpoint is not None:
+            xy, desc, scores, mask = self.superpoint.extract_features(
+                img, max_keypoints=self.max_keypoints)
+        else:
+            xy, desc, scores, mask = features.extract_features(
+                img, max_keypoints=self.max_keypoints)
+        disparity, dvalid = stereo_ops.stereo_correspondences(
+            img, jnp.asarray(right, dtype=jnp.float32), xy, mask,
+            max_disparity=self.max_disparity, min_zncc=self.min_zncc)
+        z = stereo_ops.depth_from_disparity(
+            disparity, dvalid, intrinsics.fx, intrinsics.baseline)
+        mask = np.asarray(mask) * np.asarray(dvalid)
+        pts3d = np.asarray(
+            features.backproject(xy, z, intrinsics.fx, intrinsics.fy,
+                                 intrinsics.cx, intrinsics.cy))
+        return (np.asarray(xy), np.asarray(desc), pts3d,
+                mask.astype(np.float32))
