@@ -79,7 +79,13 @@ def _between(a: Pose, b: Pose) -> Pose:
 class DecentralizedPGO:
 
     def __init__(self, params: Dict, bus, clock, logger=None,
-                 pgo_config: Optional[pgo.PGOConfig] = None):
+                 pgo_config: Optional[pgo.PGOConfig] = None, solver=None):
+        # solver: callable (FactorGraph, PGOConfig) -> PGOResult that
+        # also writes estimates back into the graph. Default is the
+        # single-chip pgo.optimize; a multi-chip deployment passes the
+        # mesh-sharded factor-parallel solve (parallel/distributed_pgo)
+        # so the elected optimizer's solve runs over the device mesh.
+        self.solver = solver or pgo.optimize
         self.params = params
         self.bus = bus
         self.clock = clock
@@ -386,7 +392,7 @@ class DecentralizedPGO:
         if self.logger is not None:
             self.logger.start_timer()
         try:
-            result = pgo.optimize(fg, self.pgo_config)
+            result = self.solver(fg, self.pgo_config)
         except Exception:
             # A failed solve must be observable, not a silent return to
             # IDLE — mirror the reference's error logging.

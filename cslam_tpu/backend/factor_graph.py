@@ -132,7 +132,9 @@ class FactorGraph:
         return len(self.factors)
 
     def to_arrays(self, edge_bucket_multiple: int = 1,
-                  sort_by_robot: bool = False) -> GraphArrays:
+                  sort_by_robot: bool = False,
+                  min_node_capacity: int = 0,
+                  min_edge_capacity: int = 0) -> GraphArrays:
         """edge_bucket_multiple: round the edge bucket up so it divides
         evenly over a device mesh of that size (factor-parallel PGO).
 
@@ -140,9 +142,12 @@ class FactorGraph:
         of the endpoints) so each robot's factor block lands contiguously
         — under the distributed solver's equal-split sharding, robots then
         map onto the mesh shard axis (SURVEY §2 'robot-level data
-        decomposition' -> mesh axis)."""
-        P = _next_pow2(max(self.num_nodes, 2))
-        E = _next_pow2(max(self.num_factors, 1))
+        decomposition' -> mesh axis).
+
+        min_node_capacity / min_edge_capacity: force at least this much
+        padding (batched solves stack graphs into shared buckets)."""
+        P = max(_next_pow2(max(self.num_nodes, 2)), min_node_capacity)
+        E = max(_next_pow2(max(self.num_factors, 1)), min_edge_capacity)
         if edge_bucket_multiple > 1 and E % edge_bucket_multiple:
             E = ((E + edge_bucket_multiple - 1) // edge_bucket_multiple
                  ) * edge_bucket_multiple

@@ -59,6 +59,19 @@ class PGOConfig(NamedTuple):
     # inexact-Newton: 1e-6 relative residual halves+ the solve time vs
     # 1e-8 at <1% cost difference (sphere-1000 sweep)
     cg_tol: float = 1e-6
+    # CG steps fused per while-loop iteration. On TPU every while-loop
+    # trip is a separately dispatched program with fixed overhead; the
+    # (P,6)-sized matvecs here are far too small to amortize it, so
+    # running `cg_unroll` steps per trip (convergence checked between
+    # groups) cuts the solve's dispatch count ~unroll-fold. Wasted
+    # post-convergence steps are numerically inert (alpha -> 0 under the
+    # denominator guards).
+    cg_unroll: int = 4
+    # LM budget inside GNC reweighting rounds. Each round only needs to
+    # track the slowly-moving weighted optimum (warm-started from the
+    # previous round) — full lm_max_iters is spent on the initial
+    # unit-weight solve and the final polish. 0 = use lm_max_iters.
+    gnc_lm_iters: int = 5
     gnc_on_loops_only: bool = True
     # "pcg": matrix-free block-Jacobi PCG (O(E) memory, any size).
     # "dense": scatter-assembled 6Px6P Cholesky — one large kernel
@@ -202,6 +215,8 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg):
     rz0 = dot(r0, z0)
     b_norm = jnp.maximum(dot(b, b), 1e-30)
 
+    unroll = max(int(cfg.cg_unroll), 1)
+
     def cond(state):
         it, _, rr, _, rz = state[0], state[1], state[2], state[3], state[4]
         res = dot(rr, rr)
@@ -209,15 +224,17 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg):
 
     def body(state):
         it, x, rr, p, rz = state
-        Hp = hvp(p)
-        alpha = rz / jnp.maximum(dot(p, Hp), 1e-30)
-        x = x + alpha * p
-        rr = rr - alpha * Hp
-        z = apply_minv(rr)
-        rz_new = dot(rr, z)
-        beta = rz_new / jnp.maximum(rz, 1e-30)
-        p = z + beta * p
-        return it + 1, x, rr, p, rz_new
+        for _ in range(unroll):  # fused steps, one dispatch
+            Hp = hvp(p)
+            alpha = rz / jnp.maximum(dot(p, Hp), 1e-30)
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = apply_minv(rr)
+            rz_new = dot(rr, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            rz = rz_new
+        return it + unroll, x, rr, p, rz
 
     _, dx, _, _, _ = jax.lax.while_loop(cond, body,
                                         (jnp.int32(0), x0, r0, p0, rz0))
@@ -234,7 +251,10 @@ def _retract(R, t, dx, node_mask):
 # ----------------------------------------------------------------------
 # Levenberg-Marquardt with GNC weights
 # ----------------------------------------------------------------------
-def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig):
+def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
+                 max_iters=None):
+    max_iters = cfg.lm_max_iters if max_iters is None else max_iters
+
     def body(state):
         R, t, lam, cost, it, done = state
         r = edge_residuals(g, R, t)
@@ -268,7 +288,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig):
 
     def cond(state):
         _, _, _, _, it, done = state
-        return (it < cfg.lm_max_iters) & (~done)
+        return (it < max_iters) & (~done)
 
     cost0 = graph_cost(g, R, t, weights)
     state = (R, t, jnp.float32(cfg.lm_init_lambda), cost0, jnp.int32(0),
@@ -324,9 +344,11 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
         it, _, _, mu, _, done = state
         return (it < cfg.gnc_max_outer_iters) & (~done)
 
+    gnc_lm = cfg.gnc_lm_iters if cfg.gnc_lm_iters > 0 else cfg.lm_max_iters
+
     def body(state):
         it, R, t, mu, w, _ = state
-        R, t, _ = _lm_optimize(g, R, t, w, cfg)
+        R, t, _ = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm)
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
@@ -344,6 +366,43 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     R, t, cost = _lm_optimize(g, R, t, w, cfg)
     return PGOResult(R=R, t=t, cost=cost, initial_cost=initial_cost,
                      gnc_iters=gnc_iters, weights=w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def gnc_optimize_batch(gs: GraphArrays,
+                       cfg: PGOConfig = PGOConfig()) -> PGOResult:
+    """vmapped GNC-LM over a batch of independent graphs.
+
+    `gs` is a GraphArrays whose leaves carry a leading batch axis (same
+    node/edge capacity buckets — to_arrays' power-of-two padding makes
+    stacking natural). One fused program optimizes all graphs at once:
+    the per-solve while-loop/dispatch overhead that dominates small
+    graphs is paid once for the whole batch instead of per robot —
+    the multi-robot mission's independent per-subgraph solves
+    (reference runs one GTSAM solve per robot's optimizer,
+    decentralized_pgo.cpp:853-886) become a single TPU program.
+    Iteration counts follow the slowest graph in the batch; converged
+    members idle harmlessly under the guards."""
+    return jax.vmap(lambda g: gnc_optimize(g, cfg))(gs)
+
+
+def optimize_batch(fgs, cfg: PGOConfig = PGOConfig()):
+    """Host entry for a list of FactorGraphs: pad to the largest bucket,
+    stack, solve in one program, write back. Returns a list of
+    PGOResults (sliced per graph)."""
+    arrays = [fg.to_arrays() for fg in fgs]
+    n_cap = max(a.R.shape[0] for a in arrays)
+    e_cap = max(a.e_i.shape[0] for a in arrays)
+    arrays = [fg.to_arrays(min_node_capacity=n_cap,
+                           min_edge_capacity=e_cap) for fg in fgs]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *arrays)
+    result = gnc_optimize_batch(stacked, cfg)
+    out = []
+    for b, fg in enumerate(fgs):
+        r = jax.tree.map(lambda x, b=b: x[b], result)
+        fg.update_estimates(r.R, r.t)
+        out.append(r)
+    return out
 
 
 def optimize(fg: FactorGraph, cfg: PGOConfig = PGOConfig()) -> PGOResult:

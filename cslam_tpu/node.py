@@ -20,7 +20,8 @@ from cslam_tpu.frontend.loop_closure_detection import \
 class SwarmNode:
 
     def __init__(self, params: Dict, bus, clock, descriptor_model=None,
-                 logger=None, pgo_config: Optional[pgo.PGOConfig] = None):
+                 logger=None, pgo_config: Optional[pgo.PGOConfig] = None,
+                 solver=None):
         self.params = params
         self.bus = bus
         self.clock = clock
@@ -29,7 +30,8 @@ class SwarmNode:
             params, bus, clock, descriptor_model=descriptor_model,
             logger=logger)
         self.backend = DecentralizedPGO(params, bus, clock, logger=logger,
-                                        pgo_config=pgo_config)
+                                        pgo_config=pgo_config,
+                                        solver=solver)
 
     # Timer ticks (period params in parentheses, reference declarations
     # at loop_closure_detection_node.py:20-44 and example.yaml):

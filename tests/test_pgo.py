@@ -198,3 +198,33 @@ def test_pgo_multi_robot_keys():
     for k in range(8):
         idx = fg.key_to_index[(1, k)]
         np.testing.assert_allclose(fg.t[idx], ts1w[k], atol=0.05)
+
+
+def test_pgo_batched_solve_matches_individual():
+    """optimize_batch: one vmapped program over independent graphs ==
+    per-graph solves (same buckets, same estimates written back)."""
+    rng = np.random.default_rng(11)
+    graphs, singles = [], []
+    for s in range(3):
+        fg, Rs, ts = build_graph(np.random.default_rng(20 + s),
+                                 n=12 + 3 * s, loops=((0, 8), (3, 10)),
+                                 init_noise=0.08)
+        fg2, _, _ = build_graph(np.random.default_rng(20 + s),
+                                n=12 + 3 * s, loops=((0, 8), (3, 10)),
+                                init_noise=0.08)
+        graphs.append((fg, Rs, ts))
+        singles.append(fg2)
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=60,
+                        gnc_max_outer_iters=4)
+    results = pgo.optimize_batch([g for g, _, _ in graphs], cfg)
+    assert len(results) == 3
+    for (fg, Rs, ts), fg2, res in zip(graphs, singles, results):
+        res_single = pgo.optimize(fg2, cfg)
+        after = ate_rmse(fg, Rs, ts)
+        assert after < 0.05, after
+        # batched and single converge to the same optimum
+        for k in range(len(ts)):
+            i1 = fg.key_to_index[(0, k)]
+            i2 = fg2.key_to_index[(0, k)]
+            np.testing.assert_allclose(fg.t[i1], fg2.t[i2], atol=2e-3)
+        assert np.all(np.isfinite(np.asarray(res.cost)))
