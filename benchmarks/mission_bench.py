@@ -56,7 +56,12 @@ def main(n_robots=5, n_poses=40, drift=0.02):
             ates_opt.append(ate_rmse(est_t, gt_t))
         ates_raw.append(ate_rmse(odom[rid][1], gt_t))
 
+    import jax
     results = {
+        "platform": jax.devices()[0].platform,
+        "wall_clock_note": ("correctness artifact: wall times include "
+                            "per-call dispatch and any cold compiles; "
+                            "kernel-level numbers live in BENCH_*.json"),
         "n_robots": n_robots,
         "n_poses_per_robot": n_poses,
         "verified_loop_closures": n_fixed,

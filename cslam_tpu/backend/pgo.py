@@ -113,11 +113,47 @@ def edge_residuals(g: GraphArrays, R, t):
                                     g.sqrt_info)
 
 
+def _log_after_perturb(xi, RE, tE, Gamma):
+    """Gamma Log(E exp(xi)) — the only map that needs differentiating:
+    see edge_residuals_jacobians."""
+    dR, dt = se3.se3_exp(xi)
+    Rc, tc = se3.compose(RE, tE, dR, dt)
+    return Gamma @ se3.se3_log(Rc, tc)
+
+
+_log_jac = jax.jacfwd(_log_after_perturb, argnums=0)
+
+
+def edge_residuals_jacobians(g: GraphArrays, R, t):
+    """Fused (r, Ji, Jj) for all between factors — half the autodiff
+    work of jacfwd over both endpoints.
+
+    With E0 = Z^-1 X_i^-1 X_j the residual is r = Gamma Log(E0), and
+    right-perturbing the endpoints gives
+      r(xi_j) = Gamma Log(E0 exp(xi_j))               (definition)
+      r(xi_i) = Gamma Log(E0 exp(-Ad_{X_j^-1 X_i} xi_i))
+    (conjugation: Z^-1 e^{-xi_i} Z E0 = E0 e^{-Ad_{E0^-1 Z^-1} xi_i}
+    and E0^-1 Z^-1 = (X_j^-1 X_i) as group elements). So only the
+    6-tangent jacfwd of xi -> Gamma Log(E0 exp(xi)) is needed;
+    J_i = -J_j Ad_{X_j^-1 X_i} follows EXACTLY from group structure
+    (se3_exp is the true SE(3) exponential). The shared E0 also serves
+    the residual, so the LM body computes between() once per edge
+    instead of three times."""
+    Ri, ti = R[g.e_i], t[g.e_i]
+    Rj, tj = R[g.e_j], t[g.e_j]
+    Rrel, trel = se3.between(Ri, ti, Rj, tj)
+    RE, tE = se3.between(g.R_meas, g.t_meas, Rrel, trel)
+    r = jnp.einsum("eij,ej->ei", g.sqrt_info, se3.se3_log(RE, tE))
+    zeros = jnp.zeros((g.e_i.shape[0], 6), dtype=R.dtype)
+    Jj = jax.vmap(_log_jac)(zeros, RE, tE, g.sqrt_info)
+    Rji, tji = se3.between(Rj, tj, Ri, ti)
+    Ji = -jnp.einsum("eok,ekl->eol", Jj, se3.adjoint(Rji, tji))
+    return r, Ji, Jj
+
+
 def edge_jacobians(g: GraphArrays, R, t):
     """((E,6,6), (E,6,6)) Jacobians wrt right-perturbations of X_i, X_j."""
-    zeros = jnp.zeros((g.e_i.shape[0], 6), dtype=R.dtype)
-    Ji, Jj = jax.vmap(_edge_jac)(zeros, zeros, R[g.e_i], t[g.e_i], R[g.e_j],
-                                 t[g.e_j], g.R_meas, g.t_meas, g.sqrt_info)
+    _, Ji, Jj = edge_residuals_jacobians(g, R, t)
     return Ji, Jj
 
 
@@ -257,8 +293,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
 
     def body(state):
         R, t, lam, cost, it, done = state
-        r = edge_residuals(g, R, t)
-        Ji, Jj = edge_jacobians(g, R, t)
+        r, Ji, Jj = edge_residuals_jacobians(g, R, t)
         sw = jnp.sqrt(jnp.maximum(weights * g.edge_mask, 0.0))
         r_s = r * sw[:, None]
         Ji_s = Ji * sw[:, None, None]

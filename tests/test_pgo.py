@@ -91,6 +91,30 @@ def test_jacobians_finite_at_zero_residual():
     np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-4)
 
 
+def test_adjoint_jacobians_match_bruteforce_autodiff():
+    # edge_residuals_jacobians differentiates only the 6-tangent map
+    # xi -> Gamma Log(E0 exp(xi)) and derives Ji from Jj via the exact
+    # adjoint identity; _edge_jac is the brute-force 12-tangent jacfwd
+    # over both endpoints. They must agree to float32 precision on
+    # every edge.
+    rng = np.random.default_rng(7)
+    fg, _, _ = build_graph(rng, n=10, loops=((0, 6), (2, 9)),
+                           init_noise=0.3)
+    g = fg.to_arrays()
+    r, Ji, Jj = pgo.edge_residuals_jacobians(g, g.R, g.t)
+    zeros = jnp.zeros((g.e_i.shape[0], 6), dtype=g.R.dtype)
+    Ji_ref, Jj_ref = jax.vmap(pgo._edge_jac)(
+        zeros, zeros, g.R[g.e_i], g.t[g.e_i], g.R[g.e_j], g.t[g.e_j],
+        g.R_meas, g.t_meas, g.sqrt_info)
+    r_ref = pgo.edge_residuals(g, g.R, g.t)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ji), np.asarray(Ji_ref),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Jj), np.asarray(Jj_ref),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_jacobians_match_finite_differences():
     rng = np.random.default_rng(1)
     fg, _, _ = build_graph(rng, n=6, loops=((0, 4),), init_noise=0.2)
