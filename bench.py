@@ -32,7 +32,7 @@ V5E_HBM_GBPS = 819.0
 V5E_BF16_TFLOPS = 197.0
 
 
-def _measure_chain_slope(chain_fn, make_queries, k1=8, k2=16, reps=9):
+def _measure_chain_slope(chain_fn, make_queries, k1=32, k2=96, reps=7):
     """Per-batch device time via the two-point slope method.
 
     Host wall-clock of a single dispatch over the axon relay is
@@ -45,6 +45,12 @@ def _measure_chain_slope(chain_fn, make_queries, k1=8, k2=16, reps=9):
     Fixed relay/dispatch/D2H overhead appears in both terms and cancels;
     only real device time scales with K. Every rep uses fresh inputs
     (the runtime memoizes identical (executable, args) executions).
+
+    Chain lengths must be large enough that the (k2-k1)-batch device
+    time difference clears the relay's multi-ms dispatch jitter: round
+    2's first attempt with k1=8/k2=16 produced NEGATIVE slopes for a
+    ~0.3 ms/batch kernel (8 x 0.3 = 2.4 ms delta vs +-5-20 ms noise).
+    64 batches of delta puts even a roofline-floor kernel >20 ms apart.
     """
     import jax
     for kk in (k1, k2):  # compile both executables
@@ -136,15 +142,25 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
         from cslam_tpu.ops.knn_pallas import cosine_topk_pallas
         return cosine_topk_pallas(data, n_valid, q, k, data_norms=norms)
 
+    def streamed_search(data, n_valid, q, norms):
+        return knn.cosine_topk_streamed(data, n_valid, q, k,
+                                        data_norms=norms)
+
     # xla_blocked measured 2.7x slower than plain top_k (the reshape
     # materializes a copy) — kept in ops/knn.py but not benched.
+    # (name, fn, storage dtype, bytes/elem, exact?) — the headline is
+    # chosen among EXACT variants only; approx_max_k results stay in
+    # the detail dict.
     variants = [
-        ("xla_f32", xla_search, jnp.float32, 4),
-        ("xla_approx_f32", approx_search, jnp.float32, 4),
-        ("pallas_f32", pallas_search, jnp.float32, 4),
+        ("xla_f32", xla_search, jnp.float32, 4, True),
+        ("xla_bf16", xla_search, jnp.bfloat16, 2, True),
+        ("streamed_f32", streamed_search, jnp.float32, 4, True),
+        ("streamed_bf16", streamed_search, jnp.bfloat16, 2, True),
+        ("xla_approx_bf16", approx_search, jnp.bfloat16, 2, False),
+        ("pallas_f32", pallas_search, jnp.float32, 4, True),
     ]
     results = {}
-    for name, fn, dtype, bytes_per in variants:
+    for name, fn, dtype, bytes_per, exact in variants:
         try:
             per_batch, slopes = run_at(fn, cap, n_items, dtype)
         except Exception as exc:  # variant unsupported on this backend
@@ -178,14 +194,17 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
             "implied_tflops": implied_tflops,
             "roofline_ok": roofline_ok,
             "clamped_to_roofline": clamped,
+            "exact": exact,
             "slopes_ms": [s * 1e3 for s in slopes],
         }
         _log(f"knn[{name}]: {batch/per_batch:.0f} q/s "
              f"({per_batch*1e3:.3f} ms/batch, ~{implied_gbps:.0f} GB/s, "
              f"roofline {'ok' if roofline_ok else 'VIOLATED'})")
 
-    # linearity check on the best valid variant
-    valid = {n: r for n, r in results.items() if r["roofline_ok"]}
+    # linearity check on the best valid EXACT variant (the headline
+    # metric is exact cosine top-k; approx_max_k numbers stay in detail)
+    valid = {n: r for n, r in results.items()
+             if r["roofline_ok"] and r["exact"]}
     if not valid:
         floor = db_bytes / (V5E_HBM_GBPS * 1e9)
         _log("knn: ALL MEASUREMENTS REJECTED (super-roofline); "
@@ -194,8 +213,8 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
     # headline = fastest variant whose time also scales with N (a flat
     # N-curve means fixed overhead dominates and the number undersells
     # or oversells the kernel; publish only a linear one)
-    fns = dict((n, f) for n, f, _, _ in variants)
-    dtypes = dict((n, d) for n, _, d, _ in variants)
+    fns = dict((n, f) for n, f, _, _, _ in variants)
+    dtypes = dict((n, d) for n, _, d, _, _ in variants)
     best = None
     for name in sorted(valid, key=lambda n: valid[n]["per_batch_ms"]):
         per_batch = valid[name]["per_batch_ms"] / 1e3
@@ -265,25 +284,52 @@ def bench_pgo(iters=3, n=1000):
     from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
                                                 diag_sqrt_info)
     from cslam_tpu.ops import se3
+    # Realistic mixed graph: a ground-truth random walk, noisy odometry
+    # factors with odometry-integrated initial estimates, 38 true loop
+    # closures + 12 gross outliers (25%). The previous all-outlier
+    # variant (identity loops between random poses) was pathological:
+    # GNC weights never reach binary convergence so every while-loop
+    # runs to its cap — it measured the worst case, not the workload.
     rng = np.random.default_rng(2)
     fg = FactorGraph()
     sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
-    for k in range(n - 1):
+    Rs = [np.eye(3, dtype=np.float32)]
+    ts = [np.zeros(3, dtype=np.float32)]
+    for _ in range(n - 1):
         xi = rng.standard_normal(6).astype(np.float32) * 0.1
         dR, dt_ = se3.se3_exp(jnp.asarray(xi))
-        fg.add_between(BetweenFactor((0, k), (0, k + 1), np.asarray(dR),
-                                     np.asarray(dt_), sq))
-    for _ in range(50):
+        Rs.append(np.asarray(Rs[-1] @ np.asarray(dR)))
+        ts.append(ts[-1] + Rs[-2] @ np.asarray(dt_))
+    Rc, tc = Rs[0], ts[0]
+    fg.add_node((0, 0), Rc, tc)
+    for k in range(n - 1):
+        Rm = Rs[k].T @ Rs[k + 1]
+        tm = Rs[k].T @ (ts[k + 1] - ts[k])
+        xi = rng.standard_normal(6).astype(np.float32) * 0.01
+        dR, dt_ = se3.se3_exp(jnp.asarray(xi))
+        Rm, tm = (np.asarray(a) for a in se3.compose(
+            jnp.asarray(Rm), jnp.asarray(tm), dR, dt_))
+        tc = Rc @ tm + tc
+        Rc = Rc @ Rm
+        fg.add_node((0, k + 1), Rc, tc)
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), Rm, tm, sq))
+    n_loops = 0
+    while n_loops < 50:
         i, j = sorted(rng.integers(0, n, size=2).tolist())
-        if j - i < 2:
+        if j - i < 5:
             continue
-        fg.add_between(BetweenFactor((0, i), (0, j),
-                                     np.eye(3, dtype=np.float32),
-                                     np.zeros(3, dtype=np.float32), sq,
+        n_loops += 1
+        if n_loops % 4 == 0:  # gross outlier
+            xi = rng.standard_normal(6).astype(np.float32)
+            xi[3:] *= 5.0
+            Rm, tm = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(xi)))
+        else:  # true loop closure
+            Rm = (Rs[i].T @ Rs[j]).astype(np.float32)
+            tm = (Rs[i].T @ (ts[j] - ts[i])).astype(np.float32)
+        fg.add_between(BetweenFactor((0, i), (0, j), Rm, tm, sq,
                                      is_loop=True))
     fg.set_prior((0, 0))
-    cfg = pgo.PGOConfig(lm_max_iters=10, cg_max_iters=50,
-                        gnc_max_outer_iters=10)
+    cfg = pgo.PGOConfig()  # library defaults — what a user's solve runs
     g = fg.to_arrays()
     # distinct initial estimates per timed call
     import jax
@@ -324,8 +370,8 @@ def main():
 
     qps, knn_detail = bench_knn(jnp, knn)
     mac_dt = bench_mac(np)
-    pgo_dt = bench_pgo(n=1000)      # PCG path (6P > dense threshold)
-    pgo_dense_dt = bench_pgo(n=500)  # dense Cholesky path
+    pgo_dt = bench_pgo(n=1000)   # PCG path (6P > dense threshold)
+    pgo_500_dt = bench_pgo(n=500)  # also PCG (padded 512 poses -> 6P=3072)
 
     baseline_qps = 1.0 / 0.030  # nns_matching.py:44 — 30 ms per query
     detail = {
@@ -335,7 +381,7 @@ def main():
         "knn_roofline": knn_detail,
         "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
         "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
-        "pgo_gnc_lm_solve_ms_500poses_dense": pgo_dense_dt * 1e3,
+        "pgo_gnc_lm_solve_ms_500poses": pgo_500_dt * 1e3,
     }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/BENCH_DETAIL.json", "w") as f:

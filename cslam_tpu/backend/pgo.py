@@ -53,7 +53,12 @@ class PGOConfig(NamedTuple):
     barc_sq: float = 10.0
     mu_step: float = 1.4
     gnc_max_outer_iters: int = 20
-    lm_max_iters: int = 10
+    # Budget for the initial unit-weight solve and the final polish
+    # (both exit early on rel-cost convergence). 25 > the old 10: the
+    # deep final polish is where the ATE is won once the GNC weights
+    # have settled (8-seed sweep: recall 0.96 vs 0.71 at equal median
+    # ATE against gnc_lm_iters=5 / shallow polish).
+    lm_max_iters: int = 25
     lm_init_lambda: float = 1e-4
     cg_max_iters: int = 50
     # inexact-Newton: 1e-6 relative residual halves+ the solve time vs
@@ -68,10 +73,18 @@ class PGOConfig(NamedTuple):
     # denominator guards).
     cg_unroll: int = 4
     # LM budget inside GNC reweighting rounds. Each round only needs to
-    # track the slowly-moving weighted optimum (warm-started from the
-    # previous round) — full lm_max_iters is spent on the initial
-    # unit-weight solve and the final polish. 0 = use lm_max_iters.
-    gnc_lm_iters: int = 5
+    # track the slowly-moving weighted optimum (warm-started, with the
+    # LM trust-region lambda carried across rounds) — the deep budget
+    # is spent on the initial unit-weight solve and the final polish.
+    # 2 steps/round x more rounds beats 5 x fewer on both wall-clock
+    # and inlier recall (weights actually reach binary convergence
+    # instead of hitting the outer cap). 0 = use lm_max_iters.
+    gnc_lm_iters: int = 2
+    # Budget for the initial unit-weight solve only. Driving it to full
+    # convergence is wasted work — it exists to initialize mu from the
+    # max residual, and the first GNC rounds reshuffle the weights
+    # anyway. 0 = use lm_max_iters.
+    lm_init_iters: int = 10
     gnc_on_loops_only: bool = True
     # "pcg": matrix-free block-Jacobi PCG (O(E) memory, any size).
     # "dense": scatter-assembled 6Px6P Cholesky — one large kernel
@@ -288,7 +301,14 @@ def _retract(R, t, dx, node_mask):
 # Levenberg-Marquardt with GNC weights
 # ----------------------------------------------------------------------
 def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
-                 max_iters=None):
+                 max_iters=None, lam0=None):
+    """Runs up to max_iters damped Gauss-Newton steps from (R, t).
+
+    lam0 carries the trust-region state across GNC reweighting rounds:
+    with small per-round LM budgets (gnc_lm_iters 1-2) a fresh
+    lm_init_lambda every round discards what the previous round learned
+    about the local curvature and wastes the round's only step(s) on
+    re-adapting lambda."""
     max_iters = cfg.lm_max_iters if max_iters is None else max_iters
 
     def body(state):
@@ -326,10 +346,10 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
         return (it < max_iters) & (~done)
 
     cost0 = graph_cost(g, R, t, weights)
-    state = (R, t, jnp.float32(cfg.lm_init_lambda), cost0, jnp.int32(0),
-             jnp.bool_(False))
-    R, t, _, cost, _, _ = jax.lax.while_loop(cond, body, state)
-    return R, t, cost
+    lam_init = jnp.float32(cfg.lm_init_lambda) if lam0 is None else lam0
+    state = (R, t, lam_init, cost0, jnp.int32(0), jnp.bool_(False))
+    R, t, lam, cost, _, _ = jax.lax.while_loop(cond, body, state)
+    return R, t, cost, lam
 
 
 # ----------------------------------------------------------------------
@@ -359,7 +379,8 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     robust_mask = g.is_loop if cfg.gnc_on_loops_only else g.edge_mask
 
     # First LM solve with unit weights (gtsam does the same before mu init)
-    R1, t1, _ = _lm_optimize(g, R0, t0, ones, cfg)
+    lm_init = cfg.lm_init_iters if cfg.lm_init_iters > 0 else cfg.lm_max_iters
+    R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg, max_iters=lm_init)
 
     r = edge_residuals(g, R1, t1)
     u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
@@ -376,29 +397,30 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
         return jnp.where(robust_mask > 0, w, 1.0)
 
     def cond(state):
-        it, _, _, mu, _, done = state
+        it, _, _, mu, _, _, done = state
         return (it < cfg.gnc_max_outer_iters) & (~done)
 
     gnc_lm = cfg.gnc_lm_iters if cfg.gnc_lm_iters > 0 else cfg.lm_max_iters
 
     def body(state):
-        it, R, t, mu, w, _ = state
-        R, t, _ = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm)
+        it, R, t, mu, w, lam, _ = state
+        R, t, _, lam = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm,
+                                    lam0=lam)
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
         # weights converged when essentially binary on robust factors
         frac = jnp.sum(w_new * (1.0 - w_new) * robust_mask)
         done = frac < 1e-5
-        return it + 1, R, t, mu * cfg.mu_step, w_new, done
+        return it + 1, R, t, mu * cfg.mu_step, w_new, lam, done
 
     w0 = jnp.where(skip_gnc, ones, weights_for(mu0, u))
-    init = (jnp.int32(0), R1, t1, jnp.maximum(mu0, 1e-6), w0,
+    init = (jnp.int32(0), R1, t1, jnp.maximum(mu0, 1e-6), w0, lam1,
             jnp.bool_(skip_gnc))
-    gnc_iters, R, t, _, w, _ = jax.lax.while_loop(cond, body, init)
+    gnc_iters, R, t, _, w, lam, _ = jax.lax.while_loop(cond, body, init)
 
     # Final polish with converged weights
-    R, t, cost = _lm_optimize(g, R, t, w, cfg)
+    R, t, cost, _ = _lm_optimize(g, R, t, w, cfg, lam0=lam)
     return PGOResult(R=R, t=t, cost=cost, initial_cost=initial_cost,
                      gnc_iters=gnc_iters, weights=w)
 

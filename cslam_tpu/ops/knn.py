@@ -97,6 +97,57 @@ def cosine_topk_blocked(data, n_valid, queries, k, data_norms=None,
     return top_idx.astype(jnp.int32), top_sims
 
 
+@functools.partial(jax.jit, static_argnames=("k", "block"))
+def cosine_topk_streamed(data, n_valid, queries, k, data_norms=None,
+                         block=16384):
+    """Exact top-k that never materializes the full (B, N) similarity
+    matrix.
+
+    cosine_topk writes the (B, N) sims to HBM and reads it back through
+    lax.top_k — ~3 HBM passes over N. Here a lax.scan walks the database
+    in (block, D) slabs: per step one MXU matmul produces a (B, block)
+    tile that is consumed immediately by a within-tile top_k and a
+    (B, 2k) merge, so the only O(N) HBM traffic is the single read of
+    the database itself. With a bf16 database this approaches the
+    max(HBM, MXU) roofline for the whole search.
+    """
+    N, D = data.shape
+    if N % block != 0 or N <= block:
+        return cosine_topk(data, n_valid, queries, k, data_norms=data_norms)
+    B = queries.shape[0]
+    queries = queries.astype(data.dtype)
+    if data_norms is None:
+        data_norms = jax.lax.optimization_barrier(
+            jnp.linalg.norm(data.astype(jnp.float32), axis=-1))
+    q_norm = jnp.linalg.norm(queries.astype(jnp.float32), axis=-1)
+    G = N // block
+    data_blocks = data.reshape(G, block, D)
+    norm_blocks = data_norms.astype(jnp.float32).reshape(G, block)
+    offsets = jnp.arange(G, dtype=jnp.int32) * block
+    col = jnp.arange(block, dtype=jnp.int32)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        blk, nb, off = inp
+        dots = jnp.dot(queries, blk.T, preferred_element_type=jnp.float32)
+        sims = dots / jnp.maximum(q_norm[:, None] * nb[None, :], 1e-12)
+        ids = off + col
+        sims = jnp.where(ids[None, :] < n_valid, sims, NEG_INF)
+        s, i = jax.lax.top_k(sims, k)
+        gi = jnp.take(ids, i)
+        cs = jnp.concatenate([best_s, s], axis=1)
+        ci = jnp.concatenate([best_i, gi], axis=1)
+        s2, pos = jax.lax.top_k(cs, k)
+        i2 = jnp.take_along_axis(ci, pos, axis=1)
+        return (s2, i2), None
+
+    init = (jnp.full((B, k), NEG_INF, jnp.float32),
+            jnp.zeros((B, k), jnp.int32))
+    (top_sims, top_idx), _ = jax.lax.scan(
+        body, init, (data_blocks, norm_blocks, offsets))
+    return top_idx.astype(jnp.int32), top_sims
+
+
 @functools.partial(jax.jit, static_argnames=("k", "recall_target"))
 def cosine_topk_approx(data, n_valid, queries, k, data_norms=None,
                        recall_target=0.95):

@@ -85,6 +85,37 @@ def test_pallas_knn_multiple_tiles():
     assert np.all(np.asarray(sims)[:, 0] > 0.99)
 
 
+@pytest.mark.parametrize("n_valid", [900, 2048])
+def test_cosine_topk_streamed_matches_dense(n_valid):
+    """The scan-over-blocks variant is exact: identical indices/sims to
+    the dense materializing path, including n_valid masking across
+    block boundaries."""
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.standard_normal((2048, 64)), dtype=jnp.float32)
+    q = jnp.asarray(rng.standard_normal((7, 64)), dtype=jnp.float32)
+    i1, s1 = knn.cosine_topk(data, n_valid, q, 10)
+    i2, s2 = knn.cosine_topk_streamed(data, n_valid, q, 10, block=256)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_cosine_topk_streamed_bf16_recall():
+    """bf16 storage: near-perfect top-10 recall vs the f32 dense path on
+    unit-ish random descriptors (the production dtype for the database)."""
+    rng = np.random.default_rng(8)
+    data = rng.standard_normal((4096, 128)).astype(np.float32)
+    q = rng.standard_normal((16, 128)).astype(np.float32)
+    i_ref, _ = knn.cosine_topk(jnp.asarray(data), 4096, jnp.asarray(q), 10)
+    i_bf, _ = knn.cosine_topk_streamed(
+        jnp.asarray(data, dtype=jnp.bfloat16), 4096, jnp.asarray(q), 10,
+        block=1024)
+    recall = np.mean([
+        len(set(np.asarray(i_ref)[b]) & set(np.asarray(i_bf)[b])) / 10.0
+        for b in range(16)])
+    assert recall >= 0.9, recall
+
+
 def test_cosine_topk_precomputed_norms():
     """cosine_topk with cached row norms equals the self-normalizing path."""
     rng = np.random.default_rng(2)
