@@ -389,10 +389,13 @@ class DecentralizedPGO:
 
     def _optimize(self, fg: FactorGraph):
         """The solve (reference optimize(), :853-886) — JAX GNC-LM."""
+        from cslam_tpu.runtime.tracing import span
         if self.logger is not None:
             self.logger.start_timer()
         try:
-            result = self.solver(fg, self.pgo_config)
+            with span("pgo_solve", robot=self.robot_id,
+                      n_factors=fg.num_factors):
+                result = self.solver(fg, self.pgo_config)
         except Exception:
             # A failed solve must be observable, not a silent return to
             # IDLE — mirror the reference's error logging.

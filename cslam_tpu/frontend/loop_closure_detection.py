@@ -228,9 +228,11 @@ class GlobalDescriptorLoopClosureDetection:
                 self.neighbor_manager.local_robot_is_broker():
             return []
         start_time = time.monotonic()
-        selection = self.lcm.select_candidates(
-            int(self.params["frontend.inter_robot_loop_closure_budget"]),
-            neighbors_in_range)
+        from cslam_tpu.runtime.tracing import span
+        with span("sparsification_select", robot=self.params["robot_id"]):
+            selection = self.lcm.select_candidates(
+                int(self.params["frontend.inter_robot_loop_closure_budget"]),
+                neighbors_in_range)
         vertices_info = self.edge_list_to_vertices(selection)
         broker = Broker(selection, in_range_list)
         for selected_vertices_set in broker.brokerage(

@@ -59,6 +59,11 @@ def robot_main(robot_id: int, args):
     if args.log_folder:
         logger = NativeLogger(os.path.join(args.log_folder,
                                            f"robot{robot_id}"))
+    if getattr(args, "trace_dir", ""):
+        from cslam_tpu.runtime.tracing import tracer
+        tracer.enable(os.path.join(args.trace_dir,
+                                   f"trace_robot{robot_id}.json"),
+                      pid_label=f"r{robot_id}")
 
     world = None
     handler = None
@@ -175,6 +180,9 @@ def main(argv=None):
     parser.add_argument("--hosts", type=str, default="",
                         help="comma-separated IPv4 per robot id")
     parser.add_argument("--log-folder", type=str, default="")
+    parser.add_argument("--trace-dir", type=str, default="",
+                        help="write per-robot chrome-trace JSON here "
+                             "(open in chrome://tracing or Perfetto)")
     parser.add_argument("--platform", type=str, default="cpu")
     parser.add_argument("--sim", action="store_true",
                         help="drive the synthetic world")

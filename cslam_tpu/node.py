@@ -15,6 +15,7 @@ from cslam_tpu.backend import pgo
 from cslam_tpu.backend.decentralized_pgo import DecentralizedPGO
 from cslam_tpu.frontend.loop_closure_detection import \
     GlobalDescriptorLoopClosureDetection
+from cslam_tpu.runtime.tracing import span
 
 
 class SwarmNode:
@@ -37,21 +38,26 @@ class SwarmNode:
     # at loop_closure_detection_node.py:20-44 and example.yaml):
     def tick_detection_publication(self):
         """(frontend.detection_publication_period_sec)"""
-        self.detection.global_descriptors_timer_callback()
-        self.detection.inter_robot_matches_timer_callback()
+        with span("detection_publication", robot=self.robot_id):
+            self.detection.global_descriptors_timer_callback()
+            self.detection.inter_robot_matches_timer_callback()
 
     def tick_inter_robot_detection(self):
         """(frontend.inter_robot_detection_period_sec)"""
-        return self.detection.detect_inter()
+        with span("inter_robot_detection", robot=self.robot_id):
+            return self.detection.detect_inter()
 
     def tick_heartbeat(self):
         """(neighbor_management.heartbeat_period_sec)"""
-        self.backend.heartbeat_timer_callback()
+        with span("heartbeat", robot=self.robot_id):
+            self.backend.heartbeat_timer_callback()
 
     def tick_optimization_start(self):
         """(backend.pose_graph_optimization_start_period_ms)"""
-        self.backend.optimization_callback()
+        with span("optimization_start", robot=self.robot_id):
+            self.backend.optimization_callback()
 
     def tick_optimization_loop(self):
         """(backend.pose_graph_optimization_loop_period_ms)"""
-        self.backend.optimization_loop_callback()
+        with span("optimization_loop", robot=self.robot_id):
+            self.backend.optimization_loop_callback()
