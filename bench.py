@@ -142,21 +142,24 @@ def bench_knn(jnp, knn, n_items=100_000, dim=512, batch=256, k=10):
         from cslam_tpu.ops.knn_pallas import cosine_topk_pallas
         return cosine_topk_pallas(data, n_valid, q, k, data_norms=norms)
 
-    def streamed_search(data, n_valid, q, norms):
-        return knn.cosine_topk_streamed(data, n_valid, q, k,
-                                        data_norms=norms)
-
-    # xla_blocked measured 2.7x slower than plain top_k (the reshape
-    # materializes a copy) — kept in ops/knn.py but not benched.
+    # Variant shoot-out results with the fixed slope measurement (v5e,
+    # 131072x512, B=256, see git history for the full race): exact
+    # lax.top_k over (B, N) dominates the search (~1.3 ms of the
+    # 1.63 ms total; the bf16 database changes nothing because the
+    # search is selection-bound, not bandwidth-bound). Losers, measured:
+    # blocked two-stage 2.6-6.9 ms (top_k cost scales with ROW COUNT,
+    # so splitting rows hurts); streamed scan 2.57 ms (serializes G
+    # top_k calls); approx-candidates-with-exactness-certificate 2.1 ms
+    # at l=128 (batch-level certificate fails: per-query pass 0.988^256
+    # ~ 0) and 20-57 ms at l>=512 (approx_max_k cost explodes with l).
+    # Winner by 8x: plain approx_max_k, recall ~0.95 — the production
+    # config (candidates feed geometric verification).
     # (name, fn, storage dtype, bytes/elem, exact?) — the headline is
-    # chosen among EXACT variants only; approx_max_k results stay in
-    # the detail dict.
+    # chosen among EXACT variants only; approx results stay in detail.
     variants = [
         ("xla_f32", xla_search, jnp.float32, 4, True),
-        ("xla_bf16", xla_search, jnp.bfloat16, 2, True),
-        ("streamed_f32", streamed_search, jnp.float32, 4, True),
-        ("streamed_bf16", streamed_search, jnp.bfloat16, 2, True),
         ("xla_approx_bf16", approx_search, jnp.bfloat16, 2, False),
+        ("xla_approx_f32", approx_search, jnp.float32, 4, False),
         ("pallas_f32", pallas_search, jnp.float32, 4, True),
     ]
     results = {}

@@ -108,8 +108,16 @@ def cosine_topk_streamed(data, n_valid, queries, k, data_norms=None,
     in (block, D) slabs: per step one MXU matmul produces a (B, block)
     tile that is consumed immediately by a within-tile top_k and a
     (B, 2k) merge, so the only O(N) HBM traffic is the single read of
-    the database itself. With a bf16 database this approaches the
-    max(HBM, MXU) roofline for the whole search.
+    the database itself.
+
+    Measured reality (v5e, 131072x512, B=256, slope-timed): 2.57
+    ms/batch — SLOWER than the dense path's 1.63 ms. The search is not
+    bandwidth-bound; lax.top_k's cost dominates and scales with the
+    number of rows it runs over, so G sequential scan steps of
+    (B, block) top_k cost more than one (B, N) call. Kept for its O(B*k)
+    memory profile (streaming over databases whose sims matrix would
+    not fit); for raw speed use cosine_topk (exact) or
+    cosine_topk_approx (production: ~8x faster, recall ~0.95).
     """
     N, D = data.shape
     if N % block != 0 or N <= block:
