@@ -30,7 +30,9 @@ class LoopClosureSparseMatching:
                 ScanContextMatching
             make_db = ScanContextMatching
         else:
-            make_db = DescriptorDatabase
+            method = self.params.get("frontend.nns_method", "exact")
+            def make_db(method=method):
+                return DescriptorDatabase(method=method)
         self.local_nnsm = make_db()
         self.other_robots_nnsm = {
             i: make_db()

@@ -174,3 +174,21 @@ def test_match_local_loop_closures_gating():
     q = q / np.linalg.norm(q)
     kf2, _ = lcsm.match_local_loop_closures(q, 50)
     assert kf2 is None
+
+
+def test_nns_method_param_selects_approx_db():
+    """frontend.nns_method wires DescriptorDatabase(method=...) through
+    the matching layer (production throughput config, CLAUDE.md kNN
+    notes); search semantics are unchanged for small databases where
+    approx_max_k degenerates to exact."""
+    rng = np.random.default_rng(3)
+    lcsm = LoopClosureSparseMatching(
+        set_params(**{"frontend.nns_method": "approx"}))
+    assert lcsm.local_nnsm.method == "approx"
+    assert all(db.method == "approx"
+               for db in lcsm.other_robots_nnsm.values())
+    d = unit(rng, 32)
+    lcsm.add_other_robot_global_descriptor(GlobalDescriptor(7, 1, d))
+    matches = lcsm.add_local_global_descriptor(d, 1)
+    assert matches
+    assert matches[0].robot1_keyframe_id == 7

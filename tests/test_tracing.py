@@ -59,9 +59,14 @@ def test_threads_get_distinct_tids(tmp_path):
     tr = Tracer()
     tr.enable(str(tmp_path / "t.json"))
 
+    # All workers must be alive at once: Python reuses thread idents
+    # after a thread exits, so sequentially-finishing workers can share
+    # a tid (observed under pytest load).
+    barrier = threading.Barrier(3)
+
     def work():
         with tr.span("w"):
-            time.sleep(0.001)
+            barrier.wait(timeout=10)
 
     ts = [threading.Thread(target=work) for _ in range(3)]
     for t in ts:
