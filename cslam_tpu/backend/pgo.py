@@ -61,6 +61,13 @@ class PGOConfig(NamedTuple):
     lm_max_iters: int = 25
     lm_init_lambda: float = 1e-4
     cg_max_iters: int = 50
+    # CG budget during the unit-weight init solve and the GNC
+    # reweighting rounds; 0 = use cg_max_iters. Tempting to halve for
+    # wall time, but DON'T by default: an 8-seed mixed inlier/outlier
+    # sweep showed under-converged GNC-round solves leave true-inlier
+    # residuals high and GNC then rejects them (mean ATE 1.86 vs 0.30,
+    # recall 0.40 on the worst seed at 25 vs 50).
+    gnc_cg_max_iters: int = 0
     # inexact-Newton: 1e-6 relative residual halves+ the solve time vs
     # 1e-8 at <1% cost difference (sphere-1000 sweep)
     cg_tol: float = 1e-6
@@ -220,7 +227,7 @@ def _solve_normal_eqs_dense(g: GraphArrays, Ji, Jj, r, lam, Jp, rp):
 
 
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
-                      x0=None):
+                      x0=None, cg_iters=None):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
     sqrt(weight)*mask (sw kept for the Hessian diag). Returns (P, 6).
 
@@ -238,18 +245,42 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
     Jst = jnp.concatenate([Ji, Jj], axis=0)           # (2E, 6, 6)
     idx = jnp.concatenate([g.e_i, g.e_j], axis=0)     # (2E,)
 
+    # At op-floor-bound sizes, gather/scatter-add are the most expensive
+    # ops in the matvec (~25-40 us each on v5e); a one-hot incidence
+    # matmul turns both into MXU work (~5-10 us) at the price of P*2E*4
+    # bytes of HBM traffic per apply. Static-shape decision: worth it up
+    # to ~16 MB (P=1024-pose bucket); beyond that the scatter path's
+    # linear scaling wins.
+    use_incidence = P * 2 * E <= 4 * 1024 * 1024
+    if use_incidence:
+        inc = (idx[None, :] == jnp.arange(P, dtype=idx.dtype)[:, None])
+        emask2 = jnp.concatenate([g.edge_mask, g.edge_mask])
+        inc = inc.astype(r.dtype) * emask2[None, :]    # (P, 2E)
+        inc_t = inc.T
+
+        def gather_x(x):
+            return inc_t @ x
+
+        def jt_scatter(vals):
+            return inc @ vals
+    else:
+        def gather_x(x):
+            return x[idx]
+
+        def jt_scatter(vals):
+            return jnp.zeros((P, 6), dtype=r.dtype).at[idx].add(vals)
+
     def jt_apply(y):
-        """J^T y for per-edge (E, 6) y -> (P, 6) via one scatter."""
+        """J^T y for per-edge (E, 6) y -> (P, 6)."""
         y2 = jnp.concatenate([y, y], axis=0)
-        vals = jnp.einsum("eoi,eo->ei", Jst, y2)
-        return jnp.zeros((P, 6), dtype=r.dtype).at[idx].add(vals)
+        return jt_scatter(jnp.einsum("eoi,eo->ei", Jst, y2))
 
     # gradient b = -J^T r  (E-batched)
     b = -jt_apply(r)
     b = b.at[g.prior_idx].add(-Jp.T @ rp)
 
     def hvp(x):
-        part = jnp.einsum("eoi,ei->eo", Jst, x[idx])
+        part = jnp.einsum("eoi,ei->eo", Jst, gather_x(x))
         y = part[:E] + part[E:]
         out = jt_apply(y)
         out = out.at[g.prior_idx].add(Jp.T @ (Jp @ x[g.prior_idx]))
@@ -280,11 +311,12 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
     b_norm = jnp.maximum(dot(b, b), 1e-30)
 
     unroll = max(int(cfg.cg_unroll), 1)
+    cg_budget = cfg.cg_max_iters if cg_iters is None else cg_iters
 
     def cond(state):
         it, _, rr, _, rz = state[0], state[1], state[2], state[3], state[4]
         res = dot(rr, rr)
-        return (it < cfg.cg_max_iters) & (res > cfg.cg_tol * b_norm)
+        return (it < cg_budget) & (res > cfg.cg_tol * b_norm)
 
     def body(state):
         it, x, rr, p, rz = state
@@ -316,7 +348,7 @@ def _retract(R, t, dx, node_mask):
 # Levenberg-Marquardt with GNC weights
 # ----------------------------------------------------------------------
 def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
-                 max_iters=None, lam0=None):
+                 max_iters=None, lam0=None, cg_iters=None):
     """Runs up to max_iters damped Gauss-Newton steps from (R, t).
 
     lam0 carries the trust-region state across GNC reweighting rounds:
@@ -345,7 +377,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
             dx = _solve_normal_eqs_dense(g, Ji_s, Jj_s, r_s, lam, Jp, rp)
         else:
             dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg,
-                                   x0=dx_prev)
+                                   x0=dx_prev, cg_iters=cg_iters)
         Rc, tc = _retract(R, t, dx, g.node_mask)
         cost_c = graph_cost(g, Rc, tc, weights)
         accept = cost_c < cost
@@ -397,7 +429,10 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
 
     # First LM solve with unit weights (gtsam does the same before mu init)
     lm_init = cfg.lm_init_iters if cfg.lm_init_iters > 0 else cfg.lm_max_iters
-    R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg, max_iters=lm_init)
+    gnc_cg = cfg.gnc_cg_max_iters if cfg.gnc_cg_max_iters > 0 \
+        else cfg.cg_max_iters
+    R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg, max_iters=lm_init,
+                                   cg_iters=gnc_cg)
 
     r = edge_residuals(g, R1, t1)
     u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
@@ -422,7 +457,7 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     def body(state):
         it, R, t, mu, w, lam, _ = state
         R, t, _, lam = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm,
-                                    lam0=lam)
+                                    lam0=lam, cg_iters=gnc_cg)
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
