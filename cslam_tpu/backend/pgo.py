@@ -226,6 +226,12 @@ def _solve_normal_eqs_dense(g: GraphArrays, Ji, Jj, r, lam, Jp, rp):
     return dx.reshape(P, 6) * g.node_mask[:, None]
 
 
+# Max P*2E entries for the one-hot incidence matmul in the PCG
+# matvec (16 MB f32 ~ the 1024-pose bucket). Module-level so
+# tests can pin either path.
+_INCIDENCE_MAX_ENTRIES = 4 * 1024 * 1024
+
+
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
                       x0=None, cg_iters=None):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
@@ -251,7 +257,7 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
     # bytes of HBM traffic per apply. Static-shape decision: worth it up
     # to ~16 MB (P=1024-pose bucket); beyond that the scatter path's
     # linear scaling wins.
-    use_incidence = P * 2 * E <= 4 * 1024 * 1024
+    use_incidence = P * 2 * E <= _INCIDENCE_MAX_ENTRIES
     if use_incidence:
         inc = (idx[None, :] == jnp.arange(P, dtype=idx.dtype)[:, None])
         emask2 = jnp.concatenate([g.edge_mask, g.edge_mask])

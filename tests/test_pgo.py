@@ -252,3 +252,25 @@ def test_pgo_batched_solve_matches_individual():
             i2 = fg2.key_to_index[(0, k)]
             np.testing.assert_allclose(fg.t[i1], fg2.t[i2], atol=2e-3)
         assert np.all(np.isfinite(np.asarray(res.cost)))
+
+
+def test_pcg_incidence_and_scatter_paths_agree(monkeypatch):
+    """The one-hot incidence-matmul transpose in the PCG matvec is an
+    exact reformulation of the scatter-add path; force each via the
+    module threshold and check identical solves (force pcg: the graph is
+    small enough that 'auto' would pick the dense Cholesky)."""
+    rng = np.random.default_rng(11)
+    fg, Rs, ts = build_graph(rng, n=40, noise=0.01,
+                             loops=((0, 20), (10, 30)), init_noise=0.2)
+    cfg = pgo.PGOConfig(linear_solver="pcg")
+    g = fg.to_arrays()
+    monkeypatch.setattr(pgo, "_INCIDENCE_MAX_ENTRIES", 1 << 62)
+    res_inc = pgo.gnc_optimize(g, cfg)
+    pgo.gnc_optimize.clear_cache()
+    monkeypatch.setattr(pgo, "_INCIDENCE_MAX_ENTRIES", 0)
+    res_sct = pgo.gnc_optimize(g, cfg)
+    pgo.gnc_optimize.clear_cache()
+    np.testing.assert_allclose(np.asarray(res_inc.t), np.asarray(res_sct.t),
+                               atol=1e-4)
+    np.testing.assert_allclose(float(res_inc.cost), float(res_sct.cost),
+                               rtol=1e-3)
