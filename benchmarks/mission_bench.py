@@ -20,7 +20,24 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_robots=5, n_poses=40, drift=0.02):
+def _setup_platform(platform):
+    """Select backend BEFORE any jax use. The mission is protocol-heavy
+    (hundreds of small host-driven dispatches); over the remote axon
+    relay each dispatch carries ~30-45 ms fixed overhead that measures
+    the tunnel, not the framework, so the default is the local CPU
+    backend with the persistent compile cache (kernel-level TPU numbers
+    live in BENCH_DETAIL.json)."""
+    import jax
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", platform)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main(n_robots=5, n_poses=40, drift=0.02, platform="cpu"):
+    _setup_platform(platform)
     t_start = time.perf_counter()
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "..", "tests"))
@@ -81,4 +98,10 @@ def main(n_robots=5, n_poses=40, drift=0.02):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", choices=("cpu", "tpu"), default="cpu")
+    ap.add_argument("--robots", type=int, default=5)
+    ap.add_argument("--poses", type=int, default=40)
+    args = ap.parse_args()
+    main(n_robots=args.robots, n_poses=args.poses, platform=args.platform)
