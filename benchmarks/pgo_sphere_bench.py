@@ -108,8 +108,17 @@ def main(n=2500):
               f"{dt:.2f} s/solve, cost {float(res.cost):.1f}",
               file=sys.stderr)
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/PGO_SPHERE.json", "w") as f:
-        json.dump(results, f, indent=2)
+    # merge per-size records so sphere2500 and sphere10000 coexist
+    path = "benchmarks/PGO_SPHERE.json"
+    merged = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        merged = prev if all(k.startswith("sphere") for k in prev) else {
+            f"sphere{prev['n_poses']}": prev}
+    merged[f"sphere{n}"] = results
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
     print(json.dumps(results))
 
 
