@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from cslam_tpu.backend.factor_graph import FactorGraph, GraphArrays
+from cslam_tpu.ops.batched_linalg import batched_inv_small
 from cslam_tpu.ops import se3
 
 
@@ -297,7 +298,10 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
     Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
     Hii = Hii.at[g.prior_idx].add(Jp.T @ Jp)
     Hii = Hii + lam * jnp.eye(6, dtype=r.dtype)[None]
-    Minv = jnp.linalg.inv(Hii)
+    # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is a
+    # ~730 us batched-LU call on TPU — the most expensive op in the
+    # whole LM body (ops/batched_linalg.py)
+    Minv = batched_inv_small(Hii)
 
     def apply_minv(v):
         return jnp.einsum("pij,pj->pi", Minv, v)

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cslam_tpu.backend.factor_graph import FactorGraph, GraphArrays
 from cslam_tpu.backend import pgo as pgo_mod
+from cslam_tpu.ops.batched_linalg import batched_inv_small
 from cslam_tpu.ops import se3
 
 
@@ -139,7 +140,7 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
                     jnp.einsum("eoi,eoj->eij", Jj_s, Jj_s))
                 Hii = psum(Hii)
                 Hii = Hii.at[gl.prior_idx].add(Jp.T @ Jp)
-                Minv = jnp.linalg.inv(Hii + lam * jnp.eye(6)[None])
+                Minv = batched_inv_small(Hii + lam * jnp.eye(6)[None])
                 apply_minv = lambda v: jnp.einsum("pij,pj->pi", Minv, v)
                 dot = lambda a, bb: jnp.sum(a * bb)
 
