@@ -246,6 +246,13 @@ class MAC:
         mask = np.zeros(self._P, dtype=np.float32)
         mask[:self.num_poses] = 1.0
         self.node_mask = jnp.asarray(mask)
+        # device-resident copies of the per-call-constant arrays: over a
+        # remote-relay backend each per-call jnp.asarray upload is a
+        # host<->device roundtrip that dwarfs the solve itself
+        self._e_i_d = jnp.asarray(self.e_i)
+        self._e_j_d = jnp.asarray(self.e_j)
+        self._weights_d = jnp.asarray(self.weights)
+        self._valid_d = jnp.asarray(self.valid)
 
         self._fixed_pairs = [(int(e.i), int(e.j)) for e in fixed_measurements]
         self._cand_pairs = [(int(e.i), int(e.j))
@@ -306,15 +313,17 @@ class MAC:
         # implies connectivity at every iterate (see module docstring).
         self._check_connected(w_init)
         w_rounded, w, u = _fw_subset(
-            self.L_fixed, jnp.asarray(self.e_i), jnp.asarray(self.e_j),
-            jnp.asarray(self.weights), jnp.asarray(self.valid),
+            self.L_fixed, self._e_i_d, self._e_j_d,
+            self._weights_d, self._valid_d,
             self.node_mask, self._pad_w(w_init),
             jnp.float32(duality_gap_tol),
             self._fixed_i, self._fixed_j, self._fixed_w,
             k=k, max_iters=max_iters, num_nodes=self._P,
             fiedler_method=self.fiedler_method)
-        return MACResult(np.asarray(w_rounded)[:self.m],
-                         np.asarray(w)[:self.m], float(u))
+        # ONE batched device_get: three separate np.asarray/float pulls
+        # are three relay roundtrips (~30 ms each measured)
+        w_rounded, w, u = jax.device_get((w_rounded, w, u))
+        return MACResult(w_rounded[:self.m], w[:self.m], float(u))
 
 
 def select_measurements(measurements: Sequence, w) -> List:
