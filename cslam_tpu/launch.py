@@ -26,6 +26,14 @@ def robot_main(robot_id: int, args):
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA cache (per platform — mixed-machine entries trigger
+    # feature-mismatch warnings): without it every robot process pays the
+    # full cold compile of the PGO/MAC programs (~20-40 s on CPU), which
+    # can exceed a short mission's optimization window entirely.
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache", args.platform or "default")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import numpy as np
     from cslam_tpu.comm import messages as msgs
     from cslam_tpu.comm.bus import WallClock
