@@ -5,8 +5,26 @@ in HBM before top-k. This kernel streams database tiles through VMEM,
 computes each tile's similarities on the MXU, and maintains a running
 top-k per query in VMEM scratch — HBM traffic drops from
 O(N*D + B*N) to O(N*D + B*k): for large databases the search becomes
-purely database-bandwidth-bound (the speed-of-light for brute-force
+purely database-bandwidth/MXU-bound (the speed-of-light for brute-force
 search). SURVEY §2 #4: the per-chip kNN kernel target.
+
+Two design points that make it actually reach that bound (the first
+version lost to plain XLA top_k by 20%):
+
+- **Early-exit merge.** A tile only contributes to a query's top-k when
+  some tile similarity beats the query's current k-th best. After the
+  first few tiles that is rare (for i.i.d. data the expected number of
+  top-k updates over the whole stream is ~k ln(num_tiles)), so the
+  merge is a while_loop whose condition is one (B, T) row-max away:
+  almost every tile pays matmul + 2 cheap VPU passes and skips the
+  k-pass selection entirely. Each merge trip consumes the tile argmax
+  per improvable query, so the loop runs at most k trips on the tiles
+  that do have candidates.
+- **Fused normalize+mask.** Instead of dividing by norms and building a
+  validity mask from iota per tile (4 extra (B, T) VPU passes), the
+  wrapper precomputes masked inverse norms and an additive -inf-like
+  bias once per call ((N,)-sized, one cheap pass), and the kernel does
+  a single fused multiply-add.
 
 Requirements: D and the row-tile size aligned to lanes (pad the
 descriptor dim to a multiple of 128); queries pre-normalized or
@@ -20,53 +38,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = float("-inf")  # python scalar: not captured as a traced const
+NEG_LARGE = -3.0e38  # finite "-inf": avoids 0 * inf = NaN in the fma
 
 
-def _knn_kernel(n_valid_ref, data_ref, norms_ref, queries_ref, idx_out_ref,
-                val_out_ref, best_vals, best_idx, *, tile_rows, k,
+def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
+                val_out_ref, best_vals, best_idx, sims_ref, *, tile_rows, k,
                 num_tiles):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        best_vals[:] = jnp.full_like(best_vals, NEG_INF)
+        best_vals[:] = jnp.full_like(best_vals, NEG_LARGE)
         best_idx[:] = jnp.zeros_like(best_idx)
 
-    n_valid = n_valid_ref[0]
     row0 = i * tile_rows
     # (B, T) similarities on the MXU. Queries are pre-normalized by the
-    # host wrapper; database rows are divided by their cached norms HERE
-    # so the database itself is streamed untouched (no normalized copy —
-    # that pre-pass cost two extra full HBM passes per call).
+    # host wrapper; database rows are un-normalized HERE via the masked
+    # inverse norms so the database itself is streamed untouched (no
+    # normalized copy — that pre-pass cost two extra HBM passes per
+    # call). Invalid rows get inv=0 and bias=NEG_LARGE in one fma.
     sims = jax.lax.dot_general(
         queries_ref[:], data_ref[:].astype(jnp.float32)
         if data_ref.dtype != jnp.float32 else data_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    sims = sims / jnp.maximum(norms_ref[:], 1e-12)  # norms: (1, T)
-    rows = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1) + row0
-    sims = jnp.where(rows < n_valid, sims, NEG_INF)
+    sims = sims * inv_ref[:] + bias_ref[:]  # inv/bias: (1, T)
 
-    # merge the tile's k best into the running top-k
-    def merge(j, sims):
-        del j
-        m = jnp.max(sims, axis=1, keepdims=True)            # (B, 1)
-        am = jnp.argmax(sims, axis=1)                       # (B,)
-        cur = best_vals[:]                                  # (B, k)
-        cur_min = jnp.min(cur, axis=1, keepdims=True)
-        cur_amin = jnp.argmin(cur, axis=1)
-        better = m > cur_min                                # (B, 1)
-        slot = jax.lax.broadcasted_iota(jnp.int32, cur.shape, 1)
-        hit = (slot == cur_amin[:, None]) & better
-        best_vals[:] = jnp.where(hit, m, cur)
-        best_idx[:] = jnp.where(hit, (am + row0)[:, None].astype(jnp.int32),
-                                best_idx[:])
-        # knock the taken element out of the tile
-        col = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-        return jnp.where(col == am[:, None], NEG_INF, sims)
+    rm0 = jnp.max(sims, axis=1)                        # (B,)
+    cmin0 = jnp.min(best_vals[:], axis=1)              # (B,)
+    any_better = jnp.any(rm0 > cmin0)
 
-    jax.lax.fori_loop(0, k, merge, sims, unroll=True)
+    # Tiles with no candidate beating any query's current k-th best (the
+    # overwhelming majority once the stream is warm) skip the merge
+    # entirely. Inside, the while_loop carries only (B,)-sized values —
+    # the tile similarities live in a VMEM scratch ref; a big (B, T)
+    # loop carry measured ~2x slower. Each trip consumes the tile argmax
+    # of every still-improvable query, so <= k trips.
+    @pl.when(any_better)
+    def _():
+        sims_ref[:] = sims
+
+        def cond(carry):
+            rm, cmin, trips = carry
+            return jnp.any(rm > cmin) & (trips < k)
+
+        def body(carry):
+            rm, cmin, trips = carry
+            s = sims_ref[:]
+            am = jnp.argmax(s, axis=1)
+            better = rm > cmin
+            cam = jnp.argmin(best_vals[:], axis=1)
+            slot = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape, 1)
+            hit = (slot == cam[:, None]) & better[:, None]
+            best_vals[:] = jnp.where(hit, rm[:, None], best_vals[:])
+            best_idx[:] = jnp.where(
+                hit, (am + row0)[:, None].astype(jnp.int32), best_idx[:])
+            # knock the taken element out of the tile
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col == am[:, None], NEG_LARGE, s)
+            sims_ref[:] = s
+            return (jnp.max(s, axis=1), jnp.min(best_vals[:], axis=1),
+                    trips + 1)
+
+        jax.lax.while_loop(cond, body, (rm0, cmin0, jnp.int32(0)))
 
     @pl.when(i == num_tiles - 1)
     def _():
@@ -86,7 +120,7 @@ def _knn_kernel(n_valid_ref, data_ref, norms_ref, queries_ref, idx_out_ref,
             out_slot = col == j
             out_v = jnp.where(out_slot, m, out_v)
             out_i = jnp.where(out_slot, taken_idx, out_i)
-            vals = jnp.where(winner, NEG_INF, vals)
+            vals = jnp.where(winner, NEG_LARGE, vals)
             return vals, idxs, out_v, out_i
 
         init = (vals, idxs, jnp.zeros_like(vals),
@@ -98,7 +132,7 @@ def _knn_kernel(n_valid_ref, data_ref, norms_ref, queries_ref, idx_out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
-def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
+def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
                        data_norms=None):
     """Fused streaming top-k cosine search.
 
@@ -114,10 +148,16 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
         here in one extra read pass; either way the database is never
         copied — rows are un-normalized inside the kernel tile.
 
-    Returns (indices, sims) like ops.knn.cosine_topk.
+    Returns (indices, sims) like ops.knn.cosine_topk (invalid/missing
+    slots carry ~-3e38 instead of -inf).
     """
     N, D = data.shape
     B = queries.shape[0]
+    if tile_rows is None:
+        # 2048-row tiles amortize per-tile merge checks best on v5e
+        # (measured: 1024 tiles have ~2x the N-independent overhead);
+        # small databases fall back to a single tile.
+        tile_rows = 2048 if N % 2048 == 0 else N
     assert N % tile_rows == 0, (N, tile_rows)
     num_tiles = N // tile_rows
 
@@ -126,7 +166,12 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
         # (XLA otherwise recomputes row norms per consumer tile)
         data_norms = jax.lax.optimization_barrier(
             jnp.linalg.norm(data.astype(jnp.float32), axis=1))
-    norms_row = data_norms.astype(jnp.float32).reshape(1, N)
+    valid = jnp.arange(N) < n_valid
+    inv_row = jnp.where(
+        valid, 1.0 / jnp.maximum(data_norms.astype(jnp.float32), 1e-12),
+        0.0).reshape(1, N)
+    bias_row = jnp.where(valid, 0.0, NEG_LARGE).astype(
+        jnp.float32).reshape(1, N)
     queries_n = queries.astype(jnp.float32)
     queries_n = queries_n / jnp.maximum(
         jnp.linalg.norm(queries_n, axis=1, keepdims=True), 1e-12)
@@ -137,8 +182,9 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_rows), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -158,6 +204,7 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=1024,
         scratch_shapes=[
             pltpu.VMEM((B, k), jnp.float32),
             pltpu.VMEM((B, k), jnp.int32),
+            pltpu.VMEM((B, tile_rows), jnp.float32),
         ],
-    )(jnp.asarray([n_valid], dtype=jnp.int32), data, norms_row, queries_n)
+    )(data, inv_row, bias_row, queries_n)
     return idx, vals

@@ -17,8 +17,12 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
     N, D = data.shape
     B = queries.shape[0]
     num_tiles = N // tile_rows
-    norms_row = jnp.linalg.norm(
-        data.astype(jnp.float32), axis=1).reshape(1, N)
+    norms = jnp.linalg.norm(data.astype(jnp.float32), axis=1)
+    valid = jnp.arange(N) < n_valid
+    inv_row = jnp.where(valid, 1.0 / jnp.maximum(norms, 1e-12),
+                        0.0).reshape(1, N)
+    bias_row = jnp.where(valid, 0.0, knn_pallas.NEG_LARGE).astype(
+        jnp.float32).reshape(1, N)
     queries_n = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     from jax.experimental.pallas import tpu as pltpu
@@ -28,8 +32,8 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
         kernel,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_rows, D), lambda i: (i, 0)),
+            pl.BlockSpec((1, tile_rows), lambda i: (0, i)),
             pl.BlockSpec((1, tile_rows), lambda i: (0, i)),
             pl.BlockSpec((B, D), lambda i: (0, 0)),
         ],
@@ -44,9 +48,10 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
         scratch_shapes=[
             pltpu.VMEM((B, k), jnp.float32),
             pltpu.VMEM((B, k), jnp.int32),
+            pltpu.VMEM((B, tile_rows), jnp.float32),
         ],
         interpret=True,
-    )(jnp.asarray([n_valid], dtype=jnp.int32), data, norms_row, queries_n)
+    )(data, inv_row, bias_row, queries_n)
     return idx, vals
 
 
