@@ -115,29 +115,42 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
                                         R[gl.prior_idx], t[gl.prior_idx],
                                         gl.prior_weight)
 
-                def scatter6(vi, vj):
-                    out = jnp.zeros((Pn, 6), dtype=r.dtype)
-                    return out.at[gl.e_i].add(vi).at[gl.e_j].add(vj)
+                # same op-floor trade as the single-chip solver
+                # (backend/pgo.py): stacked (2E, 6, 6) blocks + one-hot
+                # incidence matmuls replace per-shard gather/scatter-add
+                # when the local shard is small enough
+                El = gl.e_i.shape[0]
+                Jst = jnp.concatenate([Ji_s, Jj_s], axis=0)
+                idx = jnp.concatenate([gl.e_i, gl.e_j], axis=0)
+                if Pn * 2 * El <= pgo_mod._INCIDENCE_MAX_ENTRIES:
+                    inc = (idx[None, :] ==
+                           jnp.arange(Pn, dtype=idx.dtype)[:, None])
+                    inc = inc.astype(r.dtype) * jnp.concatenate(
+                        [gl.edge_mask, gl.edge_mask])[None, :]
+                    inc_t = inc.T
+                    gather_x = lambda x: inc_t @ x
+                    jt_scatter = lambda vals: inc @ vals
+                else:
+                    gather_x = lambda x: x[idx]
+                    jt_scatter = lambda vals: jnp.zeros(
+                        (Pn, 6), dtype=r.dtype).at[idx].add(vals)
 
-                b = -psum(
-                    scatter6(jnp.einsum("eoi,eo->ei", Ji_s, r_s),
-                             jnp.einsum("eoi,eo->ei", Jj_s, r_s)))
+                def jt_apply(y):
+                    y2 = jnp.concatenate([y, y], axis=0)
+                    return jt_scatter(jnp.einsum("eoi,eo->ei", Jst, y2))
+
+                b = -psum(jt_apply(r_s))
                 b = b.at[gl.prior_idx].add(-Jp.T @ rp)
 
                 def hvp(x):
-                    y = (jnp.einsum("eoi,ei->eo", Ji_s, x[gl.e_i]) +
-                         jnp.einsum("eoi,ei->eo", Jj_s, x[gl.e_j]))
-                    out = psum(
-                        scatter6(jnp.einsum("eoi,eo->ei", Ji_s, y),
-                                 jnp.einsum("eoi,eo->ei", Jj_s, y)))
+                    part = jnp.einsum("eoi,ei->eo", Jst, gather_x(x))
+                    y = part[:El] + part[El:]
+                    out = psum(jt_apply(y))
                     out = out.at[gl.prior_idx].add(Jp.T @ (Jp @ x[gl.prior_idx]))
                     return out + lam * x
 
                 Hii = jnp.zeros((Pn, 6, 6), dtype=r.dtype)
-                Hii = Hii.at[gl.e_i].add(
-                    jnp.einsum("eoi,eoj->eij", Ji_s, Ji_s))
-                Hii = Hii.at[gl.e_j].add(
-                    jnp.einsum("eoi,eoj->eij", Jj_s, Jj_s))
+                Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
                 Hii = psum(Hii)
                 Hii = Hii.at[gl.prior_idx].add(Jp.T @ Jp)
                 Minv = batched_inv_small(Hii + lam * jnp.eye(6)[None])
