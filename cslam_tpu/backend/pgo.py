@@ -127,11 +127,14 @@ _edge_jac = jax.jacfwd(_edge_residual, argnums=(0, 1))
 
 
 def edge_residuals(g: GraphArrays, R, t):
-    """(E, 6) whitened residuals of all between factors at (R, t)."""
-    zeros = jnp.zeros((g.e_i.shape[0], 6), dtype=R.dtype)
-    return jax.vmap(_edge_residual)(zeros, zeros, R[g.e_i], t[g.e_i],
-                                    R[g.e_j], t[g.e_j], g.R_meas, g.t_meas,
-                                    g.sqrt_info)
+    """(E, 6) whitened residuals of all between factors at (R, t).
+
+    Direct batched form (no zero-perturbation exp/compose: the vmapped
+    `_edge_residual(0, 0, ...)` form paid an se3_exp and two composes
+    per edge for nothing — measured 2x the cost of this)."""
+    Rrel, trel = se3.between(R[g.e_i], t[g.e_i], R[g.e_j], t[g.e_j])
+    RE, tE = se3.between(g.R_meas, g.t_meas, Rrel, trel)
+    return jnp.einsum("eij,ej->ei", g.sqrt_info, se3.se3_log(RE, tE))
 
 
 def _log_after_perturb(xi, RE, tE, Gamma):

@@ -55,13 +55,15 @@ class FrontendConfig:
     # Descriptor dimensionality for the matching database (descriptor_dim of
     # the global descriptor model output).
     global_descriptor_dim: int = 512
-    # Descriptor-database search: "exact" (lax.top_k — deterministic,
-    # reference-parity semantics of nns_matching.py search_best*) or
-    # "approx" (lax.approx_max_k fused with the similarity matmul —
-    # 8.3x the exact throughput at recall@10 ~0.95 on TPU; candidates
-    # are geometrically verified downstream so recall loss only costs
-    # an occasional missed candidate, not a wrong edge).
-    nns_method: str = "exact"
+    # Descriptor-database search: "auto" (pallas fused kernel on TPU,
+    # exact XLA elsewhere), "exact" (lax.top_k — deterministic,
+    # reference-parity semantics of nns_matching.py search_best*),
+    # "pallas" (exact, fused streaming kernel; TPU-only), or "approx"
+    # (lax.approx_max_k fused with the similarity matmul — ~2.8x the
+    # pallas-exact throughput at recall@10 ~0.95 on TPU; candidates are
+    # geometrically verified downstream so recall loss only costs an
+    # occasional missed candidate, not a wrong edge).
+    nns_method: str = "auto"
     # Lidar keyframe spacing (lidar_handler_node.py keyframe distance gate)
     kf_distance_threshold: float = 1.0
     voxel_size: float = 0.5

@@ -26,17 +26,20 @@ class DescriptorDatabase:
     """Append-only descriptor store with brute-force cosine kNN."""
 
     def __init__(self, dim: Optional[int] = None,
-                 capacity: int = _INITIAL_CAPACITY, method: str = "exact"):
+                 capacity: int = _INITIAL_CAPACITY, method: str = "auto"):
         """method: "exact" (lax.top_k; deterministic, matches the
         reference's torch.topk semantics) or "approx"
         (lax.approx_max_k, recall ~0.95; measured 8x faster on v5e at
         100k x 512 because the hardware partial reduction fuses with
         the similarity matmul while exact top_k costs ~8x the matmul —
         the right choice when results feed geometric verification, as
-        loop-closure candidates do) or "pallas" (the fused streaming
+        loop-closure candidates do), "pallas" (the fused streaming
         kernel ops/knn_pallas.py: exact results, 2.8x the XLA exact
-        throughput on v5e; TPU-only — it has no CPU lowering)."""
-        if method not in ("exact", "approx", "pallas"):
+        throughput on v5e; TPU-only — it has no CPU lowering), or
+        "auto" (default: "pallas" when the default JAX backend is a
+        TPU, else "exact" — so the same code is fast in production and
+        deterministic-portable in CPU tests)."""
+        if method not in ("auto", "exact", "approx", "pallas"):
             raise ValueError(f"unknown search method: {method!r}")
         self.n = 0
         self.dim = dim
@@ -48,6 +51,10 @@ class DescriptorDatabase:
             self._alloc(dim)
 
     def _topk(self, queries, k):
+        if self.method == "auto":
+            import jax
+            self.method = ("pallas" if jax.default_backend() == "tpu"
+                           else "exact")
         if self.method == "pallas":
             from cslam_tpu.ops.knn_pallas import cosine_topk_pallas
             return cosine_topk_pallas(self._data, self.n, queries, k,

@@ -30,7 +30,7 @@ class LoopClosureSparseMatching:
                 ScanContextMatching
             make_db = ScanContextMatching
         else:
-            method = self.params.get("frontend.nns_method", "exact")
+            method = self.params.get("frontend.nns_method", "auto")
             def make_db(method=method):
                 return DescriptorDatabase(method=method)
         self.local_nnsm = make_db()
