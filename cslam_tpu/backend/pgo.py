@@ -474,9 +474,16 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
-        # weights converged when essentially binary on robust factors
+        # Converged = weights essentially binary on robust factors AND
+        # stable across rounds. Binariness alone is a trap: with one
+        # gross outlier the unit-weight init solve is dragged far enough
+        # that the FIRST reweighting can reject every loop (w == 0
+        # everywhere => frac == 0) while the anneal would recover the
+        # true inliers two rounds later — observed on a 60-pose circle
+        # with a 9-meter outlier closure.
         frac = jnp.sum(w_new * (1.0 - w_new) * robust_mask)
-        done = frac < 1e-5
+        stable = jnp.max(jnp.abs(w_new - w) * robust_mask) < 1e-3
+        done = (frac < 1e-5) & stable
         return it + 1, R, t, mu * cfg.mu_step, w_new, lam, done
 
     w0 = jnp.where(skip_gnc, ones, weights_for(mu0, u))

@@ -274,3 +274,39 @@ def test_pcg_incidence_and_scatter_paths_agree(monkeypatch):
                                atol=1e-4)
     np.testing.assert_allclose(float(res_inc.cost), float(res_sct.cost),
                                rtol=1e-3)
+
+
+def test_single_gross_outlier_does_not_reject_true_loop():
+    """Convergence-criterion regression: one huge-residual outlier drags
+    the unit-weight init far enough that the FIRST GNC reweighting can
+    zero every loop weight; binary-only convergence then terminated the
+    anneal with the true loop rejected. The stability term in `done`
+    keeps annealing until weights are binary AND unchanged."""
+    rng = np.random.default_rng(2)
+    n = 60
+    sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
+    fg = FactorGraph()
+    Rk, tk = np.eye(3, dtype=np.float32), np.zeros(3, dtype=np.float32)
+    fg.add_node((0, 0), Rk, tk)
+    xi = jnp.asarray([0, 0, 2 * np.pi / n, 1.0, 0, 0], dtype=jnp.float32)
+    step, t_step = (np.asarray(a) for a in se3.se3_exp(xi))
+    for k in range(n - 1):
+        nR, nt = se3.se3_exp(jnp.asarray(
+            rng.standard_normal(6) * 0.0005, dtype=jnp.float32))
+        Rm = step @ np.asarray(nR)
+        tm = t_step + np.asarray(nt)
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), Rm, tm, sq))
+        tk = Rk @ tm + tk
+        Rk = Rk @ Rm
+        fg.add_node((0, k + 1), Rk, tk)
+    fg.add_between(BetweenFactor((0, 0), (0, n - 1), step.T,
+                                 -step.T @ t_step, sq, is_loop=True))
+    fg.add_between(BetweenFactor((0, 5), (0, 40),
+                                 np.eye(3, dtype=np.float32),
+                                 np.asarray([9., 9., 9.], np.float32), sq,
+                                 is_loop=True))
+    fg.set_prior((0, 0))
+    res = pgo.optimize(fg, pgo.PGOConfig())
+    w = np.asarray(res.weights)[:fg.num_factors]
+    assert w[-1] < 0.1, "gross outlier must be rejected"
+    assert w[-2] > 0.9, "true loop must survive the anneal"
