@@ -26,6 +26,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from cslam_tpu.ops.batched_linalg import batched_inv_small
+
 
 class RegistrationResult(NamedTuple):
     R: jnp.ndarray        # (3, 3)
@@ -68,7 +70,9 @@ def se3_estimate_covariance(moved, w, sigma_sq):
     J = jnp.concatenate([-A, eye], axis=2)  # (N, 3, 6)
     H = jnp.einsum("nij,nik,n->jk", J, J, w)
     H = H + 1e-4 * jnp.eye(6)
-    cov = jnp.maximum(sigma_sq, 1e-8) * jnp.linalg.inv(H)
+    # unrolled Gauss-Jordan: a single 6x6 jnp.linalg.inv still pays
+    # the TPU batched-LU path (~0.7 ms for batches; CLAUDE.md gotcha)
+    cov = jnp.maximum(sigma_sq, 1e-8) * batched_inv_small(H)
     return jnp.diag(cov)
 
 
