@@ -354,6 +354,133 @@ def bench_pgo(iters=3, n=1000):
     return dt
 
 
+def _slope_generic(step, make_inputs, k1=16, k2=48, reps=5):
+    """Per-call device time of `step` via the chained-scan slope method.
+
+    step: per-item function returning a small (<=8,) f32 vector (the
+    accumulated carry makes every iteration's work live and gives an
+    ARRAY output to sync on — scalar outputs ack early on the relay).
+    make_inputs(kk, seed): stacked inputs with leading axis kk.
+    """
+    import functools
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(xs):
+        def body(c, x):
+            v = step(x)
+            return c + jnp.resize(v.astype(jnp.float32), (8,)), None
+        c, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), xs)
+        return c
+
+    for kk in (k1, k2):
+        np.asarray(chain(make_inputs(kk, seed=9_000 + kk)))
+    pre1 = [jax.block_until_ready(make_inputs(k1, seed=2 * r))
+            for r in range(reps)]
+    pre2 = [jax.block_until_ready(make_inputs(k2, seed=2 * r + 1))
+            for r in range(reps)]
+    slopes = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(chain(pre1[r]))
+        t1 = time.perf_counter()
+        np.asarray(chain(pre2[r]))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
+def bench_hot_loops():
+    """SURVEY §3.5 hot loops #3/#5/#6: keyframe-pair geometric
+    verification (mutual match + 3D RANSAC), ScanContext 60-shift
+    matching, and CNN global-descriptor inference. Slope-timed like the
+    kNN headline; recorded in BENCH_DETAIL only."""
+    import jax
+    import jax.numpy as jnp
+    from cslam_tpu.ops.matching2d import verify_keyframe_pair
+    from cslam_tpu.ops.scancontext import scancontext_distances
+    from cslam_tpu.models.cosplace import GeoLocalizationNet
+
+    rng = np.random.default_rng(0)
+    out = {}
+
+    # --- verification: 256 keypoints, 128-d descriptors per frame -----
+    NK, DD = 256, 128
+
+    def make_pairs(kk, seed):
+        r = np.random.default_rng(seed)
+        desc0 = r.standard_normal((kk, NK, DD)).astype(np.float32)
+        # correlated descriptors + rigid points with outliers
+        desc1 = (desc0 + 0.1 * r.standard_normal((kk, NK, DD))
+                 ).astype(np.float32)
+        pts0 = r.standard_normal((kk, NK, 3)).astype(np.float32) * 3.0
+        pts1 = pts0 @ np.eye(3, dtype=np.float32) + np.asarray(
+            [0.5, -0.2, 0.1], np.float32)
+        mask = np.ones((kk, NK), np.float32)
+        return tuple(jnp.asarray(a) for a in (desc0, pts0, mask, desc1,
+                                              pts1, mask))
+
+    def verify_step(x):
+        d0, p0, m0, d1, p1, m1 = x
+        res, n = verify_keyframe_pair(d0, p0, m0, d1, p1, m1)
+        return jnp.concatenate([res.t, res.R.reshape(-1)[:4],
+                                n[None].astype(jnp.float32)])
+
+    try:
+        dt = _slope_generic(verify_step, make_pairs)
+        out["verify_pair_ms"] = dt * 1e3
+        _log(f"verify: {dt*1e3:.3f} ms/keyframe-pair "
+             f"({NK} kp, mutual match + 256-hypothesis RANSAC)")
+    except Exception as exc:
+        _log(f"verify bench failed: {type(exc).__name__}: {str(exc)[:100]}")
+
+    # --- scancontext: query vs 256 candidates, all 60 shifts ----------
+    NC, NR, NS = 256, 20, 60
+    cands = jnp.asarray(rng.random((NC, NR, NS)), jnp.float32)
+
+    def make_queries(kk, seed):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(r.random((kk, NR, NS)), jnp.float32)
+
+    def sc_step(q):
+        d, yaw = scancontext_distances(q, cands)
+        return jnp.concatenate([d[:4], yaw[:4].astype(jnp.float32)])
+
+    try:
+        dt = _slope_generic(sc_step, make_queries, k1=32, k2=96)
+        out["scancontext_query_vs_256_ms"] = dt * 1e3
+        _log(f"scancontext: {dt*1e3:.3f} ms/query vs {NC} candidates "
+             f"(60 shifts)")
+    except Exception as exc:
+        _log(f"scancontext bench failed: "
+             f"{type(exc).__name__}: {str(exc)[:100]}")
+
+    # --- CNN inference: CosPlace GeM descriptor, batch 8 --------------
+    model = GeoLocalizationNet(fc_output_dim=512)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((8, 224, 224, 3), jnp.float32))
+
+    def make_images(kk, seed):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(r.random((kk, 8, 224, 224, 3)), jnp.float32)
+
+    def infer_step(imgs):
+        d = model.apply(variables, imgs, train=False)
+        return d[0, :8]
+
+    try:
+        dt = _slope_generic(infer_step, make_images, k1=4, k2=12, reps=3)
+        out["cosplace_infer_b8_ms"] = dt * 1e3
+        _log(f"cosplace: {dt*1e3:.2f} ms/batch-8 inference "
+             f"({8/dt:.0f} keyframes/s)")
+    except Exception as exc:
+        _log(f"cosplace bench failed: "
+             f"{type(exc).__name__}: {str(exc)[:100]}")
+    return out
+
+
 def main():
     import jax
 
@@ -375,6 +502,7 @@ def main():
     mac_dt = bench_mac(np)
     pgo_dt = bench_pgo(n=1000)   # PCG path (6P > dense threshold)
     pgo_500_dt = bench_pgo(n=500)  # also PCG (padded 512 poses -> 6P=3072)
+    hot = bench_hot_loops()
 
     baseline_qps = 1.0 / 0.030  # nns_matching.py:44 — 30 ms per query
     detail = {
@@ -385,6 +513,7 @@ def main():
         "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
         "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
         "pgo_gnc_lm_solve_ms_500poses": pgo_500_dt * 1e3,
+        "hot_loops": hot,
     }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/BENCH_DETAIL.json", "w") as f:
