@@ -354,38 +354,48 @@ def bench_pgo(iters=3, n=1000):
     return dt
 
 
-def _slope_generic(step, make_inputs, k1=16, k2=48, reps=5):
+def _slope_generic(step, make_input, k1=32, k2=96, reps=5, consts=()):
     """Per-call device time of `step` via the chained-scan slope method.
 
-    step: per-item function returning a small (<=8,) f32 vector (the
-    accumulated carry makes every iteration's work live and gives an
-    ARRAY output to sync on — scalar outputs ack early on the relay).
-    make_inputs(kk, seed): stacked inputs with leading axis kk.
+    Same methodology as _measure_chain_slope (long chains that clear the
+    relay jitter, fixed overhead cancelled by the two-point slope,
+    distinct inputs per rep against result memoization), adapted to
+    arbitrary step signatures:
+
+    - step(x, *consts) must return a small f32 vector whose entries are
+      reductions over its FULL outputs — a slice would let XLA narrow
+      the computed work (slice-of-dot -> dot-of-slice shrank a measured
+      256-candidate scan-context program to 4 candidates, 12x).
+    - one input is reused across the chain but multiplied by a
+      loop-carried (1 + 1e-30 c) so the body cannot be hoisted out of
+      the scan as loop-invariant; chain memory stays O(1) in k.
+    - `consts` are passed as jit ARGUMENTS (closed-over device arrays
+      embed in the HLO and can 413 the remote compiler — CLAUDE.md).
     """
-    import functools
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def chain(xs):
-        def body(c, x):
-            v = step(x)
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(k, x, *cs):
+        def body(c, _):
+            dep = 1.0 + 1e-30 * c[0]
+            xp = jax.tree.map(lambda a: a * dep.astype(a.dtype), x)
+            v = step(xp, *cs)
             return c + jnp.resize(v.astype(jnp.float32), (8,)), None
-        c, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), xs)
+        c, _ = jax.lax.scan(body, jnp.zeros((8,), jnp.float32), None,
+                            length=k)
         return c
 
     for kk in (k1, k2):
-        np.asarray(chain(make_inputs(kk, seed=9_000 + kk)))
-    pre1 = [jax.block_until_ready(make_inputs(k1, seed=2 * r))
-            for r in range(reps)]
-    pre2 = [jax.block_until_ready(make_inputs(k2, seed=2 * r + 1))
-            for r in range(reps)]
+        np.asarray(chain(kk, make_input(seed=9_000 + kk), *consts))
+    pre = [jax.block_until_ready(make_input(seed=2 * r))
+           for r in range(reps)]
     slopes = []
     for r in range(reps):
         t0 = time.perf_counter()
-        np.asarray(chain(pre1[r]))
+        np.asarray(chain(k1, pre[r], *consts))
         t1 = time.perf_counter()
-        np.asarray(chain(pre2[r]))
+        np.asarray(chain(k2, pre[r], *consts))
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
     slopes.sort()
@@ -409,27 +419,27 @@ def bench_hot_loops():
     # --- verification: 256 keypoints, 128-d descriptors per frame -----
     NK, DD = 256, 128
 
-    def make_pairs(kk, seed):
+    def make_pair(seed):
         r = np.random.default_rng(seed)
-        desc0 = r.standard_normal((kk, NK, DD)).astype(np.float32)
-        # correlated descriptors + rigid points with outliers
-        desc1 = (desc0 + 0.1 * r.standard_normal((kk, NK, DD))
+        desc0 = r.standard_normal((NK, DD)).astype(np.float32)
+        desc1 = (desc0 + 0.1 * r.standard_normal((NK, DD))
                  ).astype(np.float32)
-        pts0 = r.standard_normal((kk, NK, 3)).astype(np.float32) * 3.0
-        pts1 = pts0 @ np.eye(3, dtype=np.float32) + np.asarray(
-            [0.5, -0.2, 0.1], np.float32)
-        mask = np.ones((kk, NK), np.float32)
+        pts0 = r.standard_normal((NK, 3)).astype(np.float32) * 3.0
+        pts1 = pts0 + np.asarray([0.5, -0.2, 0.1], np.float32)
+        mask = np.ones((NK,), np.float32)
         return tuple(jnp.asarray(a) for a in (desc0, pts0, mask, desc1,
                                               pts1, mask))
 
     def verify_step(x):
         d0, p0, m0, d1, p1, m1 = x
         res, n = verify_keyframe_pair(d0, p0, m0, d1, p1, m1)
-        return jnp.concatenate([res.t, res.R.reshape(-1)[:4],
-                                n[None].astype(jnp.float32)])
+        # full-output reductions only (see _slope_generic)
+        return jnp.stack([jnp.sum(res.t), jnp.sum(res.R),
+                          jnp.sum(res.inliers), jnp.sum(res.cov_diag),
+                          n.astype(jnp.float32)])
 
     try:
-        dt = _slope_generic(verify_step, make_pairs)
+        dt = _slope_generic(verify_step, make_pair)
         out["verify_pair_ms"] = dt * 1e3
         _log(f"verify: {dt*1e3:.3f} ms/keyframe-pair "
              f"({NK} kp, mutual match + 256-hypothesis RANSAC)")
@@ -440,16 +450,16 @@ def bench_hot_loops():
     NC, NR, NS = 256, 20, 60
     cands = jnp.asarray(rng.random((NC, NR, NS)), jnp.float32)
 
-    def make_queries(kk, seed):
+    def make_query(seed):
         r = np.random.default_rng(seed)
-        return jnp.asarray(r.random((kk, NR, NS)), jnp.float32)
+        return jnp.asarray(r.random((NR, NS)), jnp.float32)
 
-    def sc_step(q):
+    def sc_step(q, cands):
         d, yaw = scancontext_distances(q, cands)
-        return jnp.concatenate([d[:4], yaw[:4].astype(jnp.float32)])
+        return jnp.stack([jnp.sum(d), jnp.sum(yaw.astype(jnp.float32))])
 
     try:
-        dt = _slope_generic(sc_step, make_queries, k1=32, k2=96)
+        dt = _slope_generic(sc_step, make_query, consts=(cands,))
         out["scancontext_query_vs_256_ms"] = dt * 1e3
         _log(f"scancontext: {dt*1e3:.3f} ms/query vs {NC} candidates "
              f"(60 shifts)")
@@ -462,16 +472,16 @@ def bench_hot_loops():
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((8, 224, 224, 3), jnp.float32))
 
-    def make_images(kk, seed):
+    def make_images(seed):
         r = np.random.default_rng(seed)
-        return jnp.asarray(r.random((kk, 8, 224, 224, 3)), jnp.float32)
+        return jnp.asarray(r.random((8, 224, 224, 3)), jnp.float32)
 
-    def infer_step(imgs):
+    def infer_step(imgs, variables):
         d = model.apply(variables, imgs, train=False)
-        return d[0, :8]
+        return jnp.sum(d, axis=0)[:8] + jnp.sum(d)
 
     try:
-        dt = _slope_generic(infer_step, make_images, k1=4, k2=12, reps=3)
+        dt = _slope_generic(infer_step, make_images, consts=(variables,))
         out["cosplace_infer_b8_ms"] = dt * 1e3
         _log(f"cosplace: {dt*1e3:.2f} ms/batch-8 inference "
              f"({8/dt:.0f} keyframes/s)")

@@ -236,6 +236,40 @@ def _solve_normal_eqs_dense(g: GraphArrays, Ji, Jj, r, lam, Jp, rp):
 _INCIDENCE_MAX_ENTRIES = 4 * 1024 * 1024
 
 
+def edge_transpose_operators(e_i, e_j, edge_mask, P, dtype):
+    """(idx, gather_x, jt_scatter) for the stacked (2E,) edge layout.
+
+    Shared by the single-chip PCG and the shard_map distributed solve
+    (parallel/distributed_pgo.py) so the gather/scatter-vs-incidence
+    decision lives in exactly one place. At op-floor-bound sizes,
+    gather/scatter-add are the most expensive ops in the matvec
+    (~25-40 us each on v5e); a one-hot incidence matmul turns both into
+    MXU work at the price of P*2E*4 bytes of HBM traffic per apply —
+    worth it up to ~16 MB (the 1024-pose bucket), beyond which the
+    scatter path's linear scaling wins. Static-shape decision.
+    """
+    E = e_i.shape[0]
+    idx = jnp.concatenate([e_i, e_j], axis=0)          # (2E,)
+    if P * 2 * E <= _INCIDENCE_MAX_ENTRIES:
+        inc = (idx[None, :] == jnp.arange(P, dtype=idx.dtype)[:, None])
+        emask2 = jnp.concatenate([edge_mask, edge_mask])
+        inc = inc.astype(dtype) * emask2[None, :]      # (P, 2E)
+        inc_t = inc.T
+
+        def gather_x(x):
+            return inc_t @ x
+
+        def jt_scatter(vals):
+            return inc @ vals
+    else:
+        def gather_x(x):
+            return x[idx]
+
+        def jt_scatter(vals):
+            return jnp.zeros((P, 6), dtype=dtype).at[idx].add(vals)
+    return idx, gather_x, jt_scatter
+
+
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
                       x0=None, cg_iters=None):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
@@ -253,32 +287,8 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
     P = g.R.shape[0]
     E = Ji.shape[0]
     Jst = jnp.concatenate([Ji, Jj], axis=0)           # (2E, 6, 6)
-    idx = jnp.concatenate([g.e_i, g.e_j], axis=0)     # (2E,)
-
-    # At op-floor-bound sizes, gather/scatter-add are the most expensive
-    # ops in the matvec (~25-40 us each on v5e); a one-hot incidence
-    # matmul turns both into MXU work (~5-10 us) at the price of P*2E*4
-    # bytes of HBM traffic per apply. Static-shape decision: worth it up
-    # to ~16 MB (P=1024-pose bucket); beyond that the scatter path's
-    # linear scaling wins.
-    use_incidence = P * 2 * E <= _INCIDENCE_MAX_ENTRIES
-    if use_incidence:
-        inc = (idx[None, :] == jnp.arange(P, dtype=idx.dtype)[:, None])
-        emask2 = jnp.concatenate([g.edge_mask, g.edge_mask])
-        inc = inc.astype(r.dtype) * emask2[None, :]    # (P, 2E)
-        inc_t = inc.T
-
-        def gather_x(x):
-            return inc_t @ x
-
-        def jt_scatter(vals):
-            return inc @ vals
-    else:
-        def gather_x(x):
-            return x[idx]
-
-        def jt_scatter(vals):
-            return jnp.zeros((P, 6), dtype=r.dtype).at[idx].add(vals)
+    idx, gather_x, jt_scatter = edge_transpose_operators(
+        g.e_i, g.e_j, g.edge_mask, P, r.dtype)
 
     def jt_apply(y):
         """J^T y for per-edge (E, 6) y -> (P, 6)."""

@@ -115,25 +115,14 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
                                         R[gl.prior_idx], t[gl.prior_idx],
                                         gl.prior_weight)
 
-                # same op-floor trade as the single-chip solver
-                # (backend/pgo.py): stacked (2E, 6, 6) blocks + one-hot
-                # incidence matmuls replace per-shard gather/scatter-add
-                # when the local shard is small enough
+                # same op-floor trade as the single-chip solver, via
+                # the shared helper (backend/pgo.py): stacked (2E, 6, 6)
+                # blocks + incidence matmuls on small shards
                 El = gl.e_i.shape[0]
                 Jst = jnp.concatenate([Ji_s, Jj_s], axis=0)
-                idx = jnp.concatenate([gl.e_i, gl.e_j], axis=0)
-                if Pn * 2 * El <= pgo_mod._INCIDENCE_MAX_ENTRIES:
-                    inc = (idx[None, :] ==
-                           jnp.arange(Pn, dtype=idx.dtype)[:, None])
-                    inc = inc.astype(r.dtype) * jnp.concatenate(
-                        [gl.edge_mask, gl.edge_mask])[None, :]
-                    inc_t = inc.T
-                    gather_x = lambda x: inc_t @ x
-                    jt_scatter = lambda vals: inc @ vals
-                else:
-                    gather_x = lambda x: x[idx]
-                    jt_scatter = lambda vals: jnp.zeros(
-                        (Pn, 6), dtype=r.dtype).at[idx].add(vals)
+                idx, gather_x, jt_scatter = \
+                    pgo_mod.edge_transpose_operators(
+                        gl.e_i, gl.e_j, gl.edge_mask, Pn, r.dtype)
 
                 def jt_apply(y):
                     y2 = jnp.concatenate([y, y], axis=0)

@@ -264,6 +264,10 @@ def test_pcg_incidence_and_scatter_paths_agree(monkeypatch):
                              loops=((0, 20), (10, 30)), init_noise=0.2)
     cfg = pgo.PGOConfig(linear_solver="pcg")
     g = fg.to_arrays()
+    # the threshold is read at trace time and is NOT part of the jit
+    # cache key — drop any executable from earlier tests or the first
+    # solve would silently reuse whatever path was traced before
+    pgo.gnc_optimize.clear_cache()
     monkeypatch.setattr(pgo, "_INCIDENCE_MAX_ENTRIES", 1 << 62)
     res_inc = pgo.gnc_optimize(g, cfg)
     pgo.gnc_optimize.clear_cache()
