@@ -110,3 +110,36 @@ def test_ate_alignment():
     assert ate_rmse(est, gt, align=False) > 1.0
     s, R2, t2 = umeyama_alignment(est, gt)
     np.testing.assert_allclose(s, 1.0)
+
+
+def test_solve_g2o_cli(tmp_path, capsys):
+    """End-to-end CLI: write a noisy graph, solve it, parse the JSON."""
+    import json
+    from cslam_tpu.tools import solve_g2o
+    rng = np.random.default_rng(5)
+    fg = FactorGraph()
+    sq = diag_sqrt_info([0.02] * 3 + [0.1] * 3)
+    Rk, tk = np.eye(3, dtype=np.float32), np.zeros(3, np.float32)
+    fg.add_node((0, 0), Rk, tk)
+    for k in range(19):
+        xi = rng.standard_normal(6).astype(np.float32) * 0.2
+        dR, dt = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(xi)))
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), dR, dt, sq))
+        tk = Rk @ dt + tk
+        Rk = Rk @ dR
+        # perturbed stored estimate so the solver has work to do
+        nR, nt = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(
+            rng.standard_normal(6).astype(np.float32) * 0.05)))
+        fg.add_node((0, k + 1), Rk @ nR, tk + nt)
+    fg.set_prior((0, 0))
+    path = tmp_path / "in.g2o"
+    g2o.write_g2o(fg, str(path))
+    out = tmp_path / "out.g2o"
+    rc = solve_g2o.main([str(path), "-o", str(out), "--cpu"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["poses"] == fg.num_nodes
+    assert summary["final_cost"] < summary["initial_cost"]
+    assert out.exists()
+    reread = g2o.read_g2o(str(out))
+    assert reread.num_nodes == fg.num_nodes
