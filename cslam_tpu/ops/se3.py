@@ -208,12 +208,14 @@ def transform_points(R, t, p):
 
 
 def normalize_rotation(R):
-    """Project a near-rotation onto SO(3) via SVD (numerical hygiene after
-    many composition steps)."""
-    u, _, vt = jnp.linalg.svd(R)
-    det = jnp.linalg.det(u @ vt)
-    d = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    return u @ (d[..., :, None] * vt)
+    """Project a near-rotation onto SO(3) (numerical hygiene after many
+    composition steps; chordal-init SO(3) rounding).
+
+    Newton polar iteration instead of batched SVD: the TPU SVD
+    custom-call wants O(batch) VMEM scratch (out-of-memory at a
+    65536-pose chordal init) and runs as a LAPACK-style loop."""
+    from cslam_tpu.ops.batched_linalg import polar_rotation3x3
+    return polar_rotation3x3(R)
 
 
 def quat_to_rot(q):

@@ -28,3 +28,27 @@ def test_3x3_and_batch_dims():
     got = np.asarray(batched_inv_small(jnp.asarray(H)))
     ref = np.linalg.inv(H)
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_polar_rotation_matches_svd_projection():
+    from cslam_tpu.ops.batched_linalg import polar_rotation3x3
+    rng = np.random.default_rng(3)
+    # near-rotations: random rotations + noise, including a zero-diagonal
+    # 90-degree rotation (breaks pivot-free Gauss-Jordan, must work here)
+    from cslam_tpu.ops import se3
+    w = jnp.asarray(rng.standard_normal((128, 3)) * 2.0, dtype=jnp.float32)
+    R = np.array(se3.so3_exp(w))
+    R[0] = np.asarray([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    M = R + rng.standard_normal(R.shape).astype(np.float32) * 0.05
+    got = np.asarray(polar_rotation3x3(jnp.asarray(M)))
+    # reference: SVD projection with det correction
+    u, _, vt = np.linalg.svd(M)
+    det = np.linalg.det(u @ vt)
+    d = np.stack([np.ones_like(det), np.ones_like(det), det], axis=-1)
+    ref = u @ (d[..., :, None] * vt)
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # orthogonality + proper rotations
+    eye = np.einsum("nij,nkj->nik", got, got)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (128, 1, 1)),
+                               atol=1e-5)
+    assert np.all(np.linalg.det(got) > 0.99)
