@@ -92,11 +92,21 @@ def main(n=2500):
             ("chordal", pgo.PGOConfig(lm_max_iters=30, cg_max_iters=100,
                                       gnc_max_outer_iters=5,
                                       use_chordal_init=True))):
-        res = pgo.gnc_optimize(g, cfg)  # compile+solve
+        def solve(gv, cfg=cfg):
+            # chordal init as its own program (fused faults at 50k+
+            # poses — see pgo.optimize)
+            if cfg.use_chordal_init:
+                from cslam_tpu.backend.initialization import \
+                    chordal_initialize
+                R0, t0 = chordal_initialize(gv)
+                gv = gv._replace(R=R0, t=t0)
+                cfg = cfg._replace(use_chordal_init=False)
+            return pgo.gnc_optimize(gv, cfg)
+
+        res = solve(g)  # compile+solve
         res.t.block_until_ready()
         t0 = time.perf_counter()
-        res = pgo.gnc_optimize(
-            g._replace(t=g.t + 1e-4 * (hash(name) % 7)), cfg)
+        res = solve(g._replace(t=g.t + 1e-4 * (hash(name) % 7)))
         res.t.block_until_ready()
         dt = time.perf_counter() - t0
         est = np.asarray(res.t)[:n]

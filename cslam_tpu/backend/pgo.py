@@ -545,8 +545,18 @@ def optimize_batch(fgs, cfg: PGOConfig = PGOConfig()):
 
 
 def optimize(fg: FactorGraph, cfg: PGOConfig = PGOConfig()) -> PGOResult:
-    """Host entry: arrays, jitted solve, write-back of estimates."""
+    """Host entry: arrays, jitted solve, write-back of estimates.
+
+    Chordal initialization runs as its OWN program: fusing it into the
+    gnc_optimize executable faulted the TPU runtime at a 65536-pose
+    graph (the split runs fine), and the extra dispatch only matters for
+    small solves, which don't use chordal init."""
     g = fg.to_arrays()
+    if cfg.use_chordal_init:
+        from cslam_tpu.backend.initialization import chordal_initialize
+        R0, t0 = chordal_initialize(g)
+        g = g._replace(R=R0, t=t0)
+        cfg = cfg._replace(use_chordal_init=False)
     result = gnc_optimize(g, cfg)
     fg.update_estimates(result.R, result.t)
     return result

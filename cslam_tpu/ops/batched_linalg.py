@@ -67,7 +67,14 @@ def polar_rotation3x3(M, iters=8):
     norm = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
     X = X * (jnp.sqrt(3.0) / jnp.maximum(norm, 1e-12))
     for _ in range(iters):
-        X = 0.5 * (X + jnp.swapaxes(inv3x3_adjugate(X), -2, -1))
+        # Higham determinant scaling: drives badly-spread singular
+        # values together so the plain iteration's quadratic phase
+        # starts immediately (ill-conditioned chordal blocks converged
+        # to only ~5e-3 orthogonality in 8 unscaled steps)
+        mu = jnp.abs(det3x3(X)) ** (-1.0 / 3.0)
+        mu = jnp.clip(mu, 0.1, 10.0)[..., None, None]
+        Xs = X * mu
+        X = 0.5 * (Xs + jnp.swapaxes(inv3x3_adjugate(Xs), -2, -1))
     return X
 
 
