@@ -44,9 +44,14 @@ class FrontendConfig:
     # or "learned" (SuperPoint + LightGlue — the reference fork's
     # runtime path; weights via models/convert.py or models/onnx_import)
     features: str = "classical"
+    # empty checkpoints -> the shipped self-trained weights
+    # (models/zoo.py) when present; official converted checkpoints
+    # (.pth/.onnx) take precedence when set
     superpoint_checkpoint: str = ""
     lightglue_checkpoint: str = ""
-    lightglue_layers: int = 9
+    # 0 = auto: the shipped checkpoint's depth (3) when it is used,
+    # else the official superpoint_lightglue depth (9)
+    lightglue_layers: int = 0
     lightglue_score_threshold: float = 0.1
     keyframe_generation_ratio_threshold: float = 1.0
     map_manager_process_period_ms: int = 100

@@ -79,12 +79,21 @@ class RGBDHandler:
         if self.features_mode == "learned":
             from cslam_tpu.models.lightglue import LightGlue
             from cslam_tpu.models.superpoint import SuperPoint
-            self.superpoint = SuperPoint(
-                checkpoint=params.get("frontend.superpoint_checkpoint", ""),
-                max_keypoints=max_keypoints)
+            from cslam_tpu.models import zoo
+            # no explicit checkpoint -> the shipped self-trained weights
+            # (models/zoo.py), so "learned" works out of the box
+            sp_ckpt = params.get("frontend.superpoint_checkpoint", "") or \
+                zoo.shipped_checkpoint("superpoint_synth.npz")
+            lg_ckpt = params.get("frontend.lightglue_checkpoint", "") or \
+                zoo.shipped_checkpoint("lightglue_synth.npz")
+            lg_layers = params.get("frontend.lightglue_layers", 0) or (
+                zoo.SHIPPED_LIGHTGLUE_LAYERS
+                if lg_ckpt == zoo.shipped_checkpoint("lightglue_synth.npz")
+                and lg_ckpt else 9)
+            self.superpoint = SuperPoint(checkpoint=sp_ckpt,
+                                         max_keypoints=max_keypoints)
             self.lightglue = LightGlue(
-                checkpoint=params.get("frontend.lightglue_checkpoint", ""),
-                num_layers=params.get("frontend.lightglue_layers", 9),
+                checkpoint=lg_ckpt, num_layers=lg_layers,
                 score_threshold=params.get(
                     "frontend.lightglue_score_threshold", 0.1))
         self.nb_local_keyframes = 0

@@ -130,7 +130,7 @@ class MatchAssignment(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x0, x1, m0, m1):
+    def __call__(self, x0, x1, m0, m1, with_aux=False):
         final_proj = nn.Dense(self.dim, name="final_proj")
         matchability = nn.Dense(1, name="matchability")
         mdesc0, mdesc1 = final_proj(x0), final_proj(x1)
@@ -146,7 +146,12 @@ class MatchAssignment(nn.Module):
         scores0 = jax.nn.log_softmax(sim, axis=1)
         scores1 = jax.nn.log_softmax(sim, axis=0)
         scores = scores0 + scores1 + certainties
-        return jnp.where(valid, scores, -jnp.inf)
+        scores = jnp.where(valid, scores, -jnp.inf)
+        if with_aux:
+            # raw matchability logits, for the training loss
+            # (unmatched-point supervision needs sigmoid(z) directly)
+            return scores, z0, z1
+        return scores
 
 
 class LightGlueNet(nn.Module):
@@ -158,7 +163,7 @@ class LightGlueNet(nn.Module):
     input_dim: int = 256
 
     @nn.compact
-    def __call__(self, desc0, xy0, m0, desc1, xy1, m1):
+    def __call__(self, desc0, xy0, m0, desc1, xy1, m1, with_aux=False):
         d, h = self.dim, self.num_heads
         hd = d // h
         if self.input_dim != d:
@@ -184,7 +189,8 @@ class LightGlueNet(nn.Module):
             x0 = self_blk(x0, cos0, sin0, m0)
             x1 = self_blk(x1, cos1, sin1, m1)
             x0, x1 = cross_blk(x0, x1, m0, m1)
-        return MatchAssignment(d, name="log_assignment")(x0, x1, m0, m1)
+        return MatchAssignment(d, name="log_assignment")(
+            x0, x1, m0, m1, with_aux=with_aux)
 
 
 class LightGlue:

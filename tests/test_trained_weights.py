@@ -1,0 +1,136 @@
+"""Quality validation of the shipped self-trained perception weights
+(models/weights/*.npz, produced by models/train_superpoint.py and
+models/train_lightglue.py).
+
+The reference's learned front-end quality comes from downloaded
+SuperPoint/LightGlue checkpoints (rgbd_handler.cpp:263-315); these tests
+pin that the shipped self-trained equivalents are *functional* — the
+detector localizes real corners, descriptors match across homography
+warps, and LightGlue beats raw descriptor matching in the
+noise regime where consensus matters — not just well-formed.
+"""
+
+import numpy as np
+import pytest
+
+from cslam_tpu.models import zoo
+
+SP_CKPT = zoo.shipped_checkpoint("superpoint_synth.npz")
+LG_CKPT = zoo.shipped_checkpoint("lightglue_synth.npz")
+
+needs_sp = pytest.mark.skipif(not SP_CKPT,
+                              reason="no shipped superpoint weights")
+needs_lg = pytest.mark.skipif(not LG_CKPT,
+                              reason="no shipped lightglue weights")
+
+
+@pytest.fixture(scope="module")
+def superpoint():
+    from cslam_tpu.models.superpoint import SuperPoint
+    return SuperPoint(checkpoint=SP_CKPT, max_keypoints=128)
+
+
+@needs_sp
+def test_superpoint_detects_synthetic_corners(superpoint):
+    """Corner recall on held-out synthetic shapes: a trained detector
+    localizes most GT corners within 4 px; a random-weight one doesn't."""
+    from cslam_tpu.models.synthetic_shapes import render_shapes
+    rng = np.random.default_rng(777)  # not a training seed
+    hits = total = 0
+    for _ in range(6):
+        img, corners = render_shapes(rng, 120, 160)
+        if len(corners) < 4:
+            continue
+        xy, desc, scores, mask = superpoint.extract_features(img)
+        xy = np.asarray(xy)[np.asarray(mask) > 0]
+        d = np.linalg.norm(corners[:, None, :] - xy[None, :, :], axis=-1)
+        hits += int((d.min(axis=1) <= 4.0).sum())
+        total += len(corners)
+    assert total > 20
+    recall = hits / total
+    assert recall >= 0.5, f"corner recall {recall:.2f}"
+
+
+@needs_sp
+def test_superpoint_descriptors_match_across_warp(superpoint):
+    """Mutual-NN matching of SuperPoint features across a homography
+    pair: most matches must agree with the GT warp."""
+    from cslam_tpu.models.synthetic_shapes import (apply_homography,
+                                                   make_pair_sample)
+    rng = np.random.default_rng(778)
+    good = selected = 0
+    for _ in range(6):
+        s = make_pair_sample(rng, 120, 160)
+        xy0, d0, _, m0 = map(np.asarray,
+                             superpoint.extract_features(s["img0"]))
+        xy1, d1, _, m1 = map(np.asarray,
+                             superpoint.extract_features(s["img1"]))
+        v0, v1 = m0 > 0, m1 > 0
+        if v0.sum() < 8 or v1.sum() < 8:
+            continue
+        sim = d0[v0] @ d1[v1].T
+        b1 = sim.argmax(axis=1)
+        b0 = sim.argmax(axis=0)
+        mutual = b0[b1] == np.arange(sim.shape[0])
+        warped = apply_homography(s["H"], xy0[v0])
+        err = np.linalg.norm(warped - xy1[v1][b1], axis=-1)
+        inb = (warped[:, 0] >= 0) & (warped[:, 0] < 160) & \
+              (warped[:, 1] >= 0) & (warped[:, 1] < 120)
+        sel = mutual & inb
+        good += int((err[sel] <= 6.0).sum())
+        selected += int(sel.sum())
+    assert selected >= 30, f"only {selected} mutual matches"
+    precision = good / selected
+    assert precision >= 0.5, f"warp-consistent precision {precision:.2f}"
+
+
+@needs_lg
+def test_lightglue_beats_raw_matching_under_noise():
+    """At descriptor corruption sigma=0.85 (matched-pair cosine ~0.28,
+    near the random floor), trained LightGlue must beat raw mutual
+    cosine matching on F1."""
+    from cslam_tpu.models.lightglue import LightGlueNet
+    from cslam_tpu.models.train_lightglue import eval_matching
+    import jax.numpy as jnp
+    from flax.traverse_util import unflatten_dict
+    with np.load(LG_CKPT, allow_pickle=True) as data:
+        flat = {k: jnp.asarray(v) for k, v in data.items()}
+    params = unflatten_dict({tuple(k.split("/")): v
+                             for k, v in flat.items()})
+    model = LightGlueNet(num_layers=zoo.SHIPPED_LIGHTGLUE_LAYERS)
+    ev = eval_matching(model, params, np.random.default_rng(4321),
+                       n_pairs=16, K=96, sigma=0.85)
+
+    def f1(d):
+        p, r = d["precision"], d["recall"]
+        return 2 * p * r / max(p + r, 1e-9)
+
+    lg, raw = f1(ev["lightglue"]), f1(ev["raw"])
+    assert lg > raw + 0.05, f"lightglue F1 {lg:.3f} vs raw {raw:.3f}"
+    assert ev["lightglue"]["precision"] >= 0.6, ev
+
+
+@needs_lg
+@needs_sp
+def test_runtime_wrappers_pick_up_shipped_weights():
+    """RGBDHandler('learned') with no explicit checkpoints must load the
+    shipped weights (not random init) and the shipped LightGlue depth."""
+    from cslam_tpu.frontend.rgbd_handler import RGBDHandler
+    from cslam_tpu.comm.bus import InProcessBus, InProcessRouter, ManualClock
+
+    router = InProcessRouter()
+    bus = InProcessBus(router, robot_id=0)
+    h = RGBDHandler({"robot_id": 0, "max_nb_robots": 1,
+                     "frontend.features": "learned"}, bus, ManualClock())
+    # loaded (not random-init) == params equal the checkpoint contents
+    from flax.traverse_util import flatten_dict
+    flat = {"/".join(k): np.asarray(v) for k, v in
+            flatten_dict(h.superpoint.variables).items()}
+    with np.load(SP_CKPT) as data:
+        key = sorted(data.files)[0]
+        assert np.allclose(flat[key], data[key])
+    n_layers = len({k.split("/")[1].split("_")[1]
+                    for k in flatten_dict(
+                        h.lightglue.variables, sep="/").keys()
+                    if k.split("/")[1].startswith("transformers_")})
+    assert n_layers == zoo.SHIPPED_LIGHTGLUE_LAYERS
