@@ -69,6 +69,11 @@ class FrontendConfig:
     # geometrically verified downstream so recall loss only costs an
     # occasional missed candidate, not a wrong edge).
     nns_method: str = "auto"
+    # Descriptor-database storage dtype: "float32" or "bfloat16" (halves
+    # HBM footprint/traffic; the pallas kernel then runs the MXU's
+    # native bf16 path — ~2x the exact-search throughput at top-k recall
+    # ~1.0 vs f32 for CNN descriptors).
+    nns_storage: str = "float32"
     # Lidar keyframe spacing (lidar_handler_node.py keyframe distance gate)
     kf_distance_threshold: float = 1.0
     voxel_size: float = 0.5

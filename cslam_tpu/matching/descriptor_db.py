@@ -26,7 +26,8 @@ class DescriptorDatabase:
     """Append-only descriptor store with brute-force cosine kNN."""
 
     def __init__(self, dim: Optional[int] = None,
-                 capacity: int = _INITIAL_CAPACITY, method: str = "auto"):
+                 capacity: int = _INITIAL_CAPACITY, method: str = "auto",
+                 storage: str = "float32"):
         """method: "exact" (lax.top_k; deterministic, matches the
         reference's torch.topk semantics) or "approx"
         (lax.approx_max_k, recall ~0.95; measured 8x faster on v5e at
@@ -38,12 +39,22 @@ class DescriptorDatabase:
         throughput on v5e; TPU-only — it has no CPU lowering), or
         "auto" (default: "pallas" when the default JAX backend is a
         TPU, else "exact" — so the same code is fast in production and
-        deterministic-portable in CPU tests)."""
+        deterministic-portable in CPU tests).
+
+        storage: "float32" or "bfloat16". bf16 halves the database's HBM
+        footprint/traffic and lets the Pallas kernel's matmul run the
+        MXU's native bf16 path (~2x) — brute-force search is then exact
+        over bf16-rounded descriptors (cosine error ~0.3%, top-k recall
+        vs f32 ~1.0 at CNN-descriptor separations). Norms are kept in
+        f32, computed from the rounded values actually stored."""
         if method not in ("auto", "exact", "approx", "pallas"):
             raise ValueError(f"unknown search method: {method!r}")
+        if storage not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown storage dtype: {storage!r}")
         self.n = 0
         self.dim = dim
         self.method = method
+        self._dtype = jnp.dtype(storage)
         self.items: Dict[int, Any] = {}
         self._capacity = capacity
         self._data = None
@@ -65,7 +76,7 @@ class DescriptorDatabase:
 
     def _alloc(self, dim: int):
         self.dim = dim
-        self._data = jnp.zeros((self._capacity, dim), dtype=jnp.float32)
+        self._data = jnp.zeros((self._capacity, dim), dtype=self._dtype)
         # row norms maintained incrementally: searches become a single
         # HBM pass (and avoid XLA's per-tile norm-recompute pathology,
         # ops/knn.py)
@@ -93,9 +104,12 @@ class DescriptorDatabase:
             self._norms = jnp.concatenate(
                 [self._norms,
                  jnp.zeros((self._capacity // 2,), dtype=jnp.float32)])
-        self._data = knn.set_row(self._data, self.n, jnp.asarray(vector))
+        stored = vector.astype(self._dtype).astype(np.float32)
+        self._data = knn.set_row(self._data, self.n,
+                                 jnp.asarray(vector, dtype=self._dtype))
+        # norm of the values as stored (bf16-rounded when applicable)
         self._norms = self._norms.at[self.n].set(
-            float(np.linalg.norm(vector)))
+            float(np.linalg.norm(stored)))
         self.items[self.n] = item
         self.n += 1
 

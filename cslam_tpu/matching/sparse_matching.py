@@ -31,8 +31,9 @@ class LoopClosureSparseMatching:
             make_db = ScanContextMatching
         else:
             method = self.params.get("frontend.nns_method", "auto")
-            def make_db(method=method):
-                return DescriptorDatabase(method=method)
+            storage = self.params.get("frontend.nns_storage", "float32")
+            def make_db(method=method, storage=storage):
+                return DescriptorDatabase(method=method, storage=storage)
         self.local_nnsm = make_db()
         self.other_robots_nnsm = {
             i: make_db()

@@ -204,6 +204,10 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start from an existing .npz checkpoint")
+    ap.add_argument("--noise-lo", type=float, default=0.4)
+    ap.add_argument("--noise-hi", type=float, default=0.95)
     ap.add_argument("--out", default="cslam_tpu/models/weights/"
                                      "lightglue_synth.npz")
     args = ap.parse_args()
@@ -224,24 +228,35 @@ def main():
     dummy = (jnp.zeros((K, 256)), jnp.zeros((K, 2)), jnp.ones(K),
              jnp.zeros((K, 256)), jnp.zeros((K, 2)), jnp.ones(K))
     params = model.init(jax.random.PRNGKey(args.seed), *dummy)
+    if args.init_from:
+        from flax.traverse_util import unflatten_dict
+        with np.load(args.init_from) as data:
+            params = unflatten_dict({tuple(k.split("/")): jnp.asarray(v)
+                                     for k, v in data.items()})
+        print("warm-started from", args.init_from, flush=True)
     tx, train_step = build_train_step(model, args.lr, args.steps)
     opt_state = tx.init(params)
 
     t0 = time.time()
     for step in range(args.steps):
-        batch = make_match_batch(rng, args.batch, K=K)
+        batch = make_match_batch(rng, args.batch, K=K,
+                                 noise_lo=args.noise_lo,
+                                 noise_hi=args.noise_hi)
         jb = tuple(map(jnp.asarray, batch))
         params, opt_state, loss = train_step(params, opt_state, jb)
         if step % 50 == 0 or step == args.steps - 1:
             print(f"step {step} loss {float(loss):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
         if step % 300 == 299 or step == args.steps - 1:
-            ev = eval_matching(model, params,
-                               np.random.default_rng(1234), K=K)
-            print(f"  eval@sigma=0.6: lg P={ev['lightglue']['precision']:.3f} "
-                  f"R={ev['lightglue']['recall']:.3f} | raw "
-                  f"P={ev['raw']['precision']:.3f} "
-                  f"R={ev['raw']['recall']:.3f}", flush=True)
+            for sig in (0.6, 0.85):
+                ev = eval_matching(model, params,
+                                   np.random.default_rng(1234), K=K,
+                                   sigma=sig)
+                print(f"  eval@sigma={sig}: "
+                      f"lg P={ev['lightglue']['precision']:.3f} "
+                      f"R={ev['lightglue']['recall']:.3f} | raw "
+                      f"P={ev['raw']['precision']:.3f} "
+                      f"R={ev['raw']['recall']:.3f}", flush=True)
     save_params(params, args.out)
     print("saved", args.out, flush=True)
 

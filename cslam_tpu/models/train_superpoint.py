@@ -8,9 +8,12 @@ equivalent functional capability is trained here from scratch:
 - detector head: 65-way per-cell cross-entropy against exact corner
   positions of rendered primitives (the MagicPoint stage of DeTone et
   al. 2018);
-- descriptor head: the SuperPoint hinge loss over all cell pairs of a
-  homography-warped image pair — corresponding cells pulled together,
-  non-corresponding pushed below a margin.
+- descriptor head: InfoNCE over cell pairs of a homography-warped image
+  pair — each corner cell's descriptor must pick out its warped
+  counterpart against every other valid cell (cells within 8 px of the
+  target are excluded from the negative set as near-duplicates). This
+  replaces the paper's hinge loss, which plateaued without producing
+  distinctive descriptors at this step budget.
 
 Run (CPU is fine for the small config; TPU trains the full one in
 minutes):
@@ -78,25 +81,41 @@ def build_train_step(model, lr, steps, desc_weight=1.0):
         w = jnp.where(labels < 64, pos_weight, 1.0) * cell_valid
         return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    def descriptor_loss(desc0, desc1, warped_centers, valid1,
-                        margin_pos=1.0, margin_neg=0.2, lambda_d=250.0):
-        # desc*: (B, Hc, Wc, D) already L2-normalized by the model
+    def descriptor_loss(desc0, desc1, labels0, warped_centers, valid1,
+                        temp=0.1):
+        # desc*: (B, Hc, Wc, D) already L2-normalized by the model.
+        # InfoNCE with corner cells of view 0 as anchors: the positive is
+        # the view-1 cell whose center is nearest the warped anchor
+        # center; other cells within 8 px of the target are ambiguous
+        # near-duplicates and masked out of the negative set.
         B, Hc, Wc, D = desc0.shape
-        d0 = desc0.reshape(B, Hc * Wc, D)
-        d1 = desc1.reshape(B, Hc * Wc, D)
-        sim = jnp.einsum("bid,bjd->bij", d0, d1)
+        C = Hc * Wc
+        d0 = desc0.reshape(B, C, D)
+        d1 = desc1.reshape(B, C, D)
+        sim = jnp.einsum("bid,bjd->bij", d0, d1) / temp     # (B, C, C)
         cy, cx = jnp.mgrid[0:Hc, 0:Wc]
         centers1 = jnp.stack([cx.ravel() * 8 + 4, cy.ravel() * 8 + 4],
                              axis=1).astype(jnp.float32)     # (C, 2)
         dist = jnp.linalg.norm(
             warped_centers[:, :, None, :] - centers1[None, None, :, :],
             axis=-1)                                          # (B, C, C)
-        s = (dist <= 8.0).astype(jnp.float32)
-        v1 = valid1.reshape(B, 1, Hc * Wc)
-        pos = jnp.maximum(0.0, margin_pos - sim) * s
-        neg = jnp.maximum(0.0, sim - margin_neg) * (1.0 - s)
-        per_pair = (lambda_d * pos + neg) * v1
-        return jnp.sum(per_pair) / jnp.maximum(jnp.sum(v1) * Hc * Wc, 1.0)
+        j_star = jnp.argmin(dist, axis=2)                     # (B, C)
+        d_min = jnp.min(dist, axis=2)
+        v1 = valid1.reshape(B, C)
+        is_pos = jax.nn.one_hot(j_star, C, dtype=bool)        # (B, C, C)
+        # anchor usable: a corner cell whose warp target is a valid,
+        # nearby view-1 cell
+        corner0 = (labels0.reshape(B, C) < 64)
+        pos_ok = corner0 & (d_min <= 6.0) & \
+            (jnp.take_along_axis(v1, j_star, axis=1) > 0)
+        # denominator: the positive + every valid cell farther than 8 px
+        keep = is_pos | ((dist > 8.0) & (v1[:, None, :] > 0))
+        logits = jnp.where(keep, sim, -1e9)
+        ll = jnp.take_along_axis(sim, j_star[:, :, None],
+                                 axis=2)[..., 0] - \
+            jax.nn.logsumexp(logits, axis=2)
+        w = pos_ok.astype(jnp.float32)
+        return -jnp.sum(ll * w) / jnp.maximum(jnp.sum(w), 1.0)
 
     @jax.jit
     def train_step(params, opt_state, batch):
@@ -108,10 +127,7 @@ def build_train_step(model, lr, steps, desc_weight=1.0):
             ones = jnp.ones(lab0.shape, jnp.float32)
             ld = detector_loss(det0, lab0, ones) + \
                 detector_loss(det1, lab1, v1)
-            ldesc = descriptor_loss(desc0, desc1, wc, v1)
-            # the paper's 1e-4 global descriptor weight starves the
-            # descriptor head at this step budget; lambda_d=250 already
-            # balances positives vs negatives inside ldesc
+            ldesc = descriptor_loss(desc0, desc1, lab0, wc, v1)
             return ld + desc_weight * ldesc, (ld, ldesc)
 
         (loss, (ld, ldesc)), grads = jax.value_and_grad(
@@ -142,6 +158,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start from an existing .npz checkpoint")
     ap.add_argument("--out", default="cslam_tpu/models/weights/"
                                      "superpoint_synth.npz")
     args = ap.parse_args()
@@ -160,6 +178,12 @@ def main():
     rng = np.random.default_rng(args.seed)
     params = model.init(jax.random.PRNGKey(args.seed),
                         jnp.zeros((1, args.height, args.width, 1)))
+    if args.init_from:
+        from flax.traverse_util import unflatten_dict
+        with np.load(args.init_from) as data:
+            params = unflatten_dict({tuple(k.split("/")): jnp.asarray(v)
+                                     for k, v in data.items()})
+        print("warm-started from", args.init_from, flush=True)
     tx, train_step = build_train_step(model, args.lr, args.steps,
                                       desc_weight=args.desc_weight)
     opt_state = tx.init(params)

@@ -25,6 +25,7 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
         jnp.float32).reshape(1, N)
     queries_n = queries / jnp.maximum(
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    queries_n = queries_n.astype(data.dtype)  # native-dtype MXU path
     from jax.experimental.pallas import tpu as pltpu
     kernel = functools.partial(knn_pallas._knn_kernel, tile_rows=tile_rows,
                                k=k, num_tiles=num_tiles)
@@ -88,6 +89,22 @@ def test_pallas_knn_multiple_tiles():
     # each query's best match is its own source row
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], [3, 77, 500, 1000])
     assert np.all(np.asarray(sims)[:, 0] > 0.99)
+
+
+def test_pallas_knn_bf16_matches_xla_bf16():
+    """bf16 database tiles feed the kernel's matmul directly (no f32
+    up-cast); results must equal the XLA path over the same bf16 data."""
+    rng = np.random.default_rng(3)
+    N, D, B, k = 512, 128, 8, 5
+    data = jnp.asarray(rng.standard_normal((N, D)), dtype=jnp.bfloat16)
+    queries = jnp.asarray(rng.standard_normal((B, D)), dtype=jnp.float32)
+    ref_idx, ref_sims = knn.cosine_topk(data, N, queries, k)
+    idx, sims = _pallas_interpret(data, N, queries, k, tile_rows=128)
+    # bf16 matmul accumulation differs slightly between the two lowerings
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
+                               atol=5e-3)
+    match = np.mean(np.asarray(idx) == np.asarray(ref_idx))
+    assert match >= 0.9, match
 
 
 @pytest.mark.parametrize("n_valid", [900, 2048])

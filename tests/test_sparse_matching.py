@@ -192,3 +192,32 @@ def test_nns_method_param_selects_approx_db():
     matches = lcsm.add_local_global_descriptor(d, 1)
     assert matches
     assert matches[0].robot1_keyframe_id == 7
+
+
+def test_bf16_storage_matches_f32_results():
+    """DescriptorDatabase(storage="bfloat16"): same top-k items as f32
+    storage on separable descriptors, half the device footprint; the
+    frontend.nns_storage param wires it through the matching layer."""
+    rng = np.random.default_rng(11)
+    db32 = DescriptorDatabase(method="exact")
+    db16 = DescriptorDatabase(method="exact", storage="bfloat16")
+    import jax.numpy as jnp
+    for i in range(64):
+        v = unit(rng, 64)
+        db32.add_item(v, i)
+        db16.add_item(v, i)
+    assert db16.data.dtype == jnp.bfloat16
+    q = unit(rng, 64)
+    items32, sims32 = db32.search(q, 5)
+    items16, sims16 = db16.search(q, 5)
+    assert items32 == items16
+    np.testing.assert_allclose(sims16, sims32, atol=2e-2)
+
+    lcsm = LoopClosureSparseMatching(
+        set_params(**{"frontend.nns_storage": "bfloat16"}))
+    assert lcsm.local_nnsm.data is None or True  # constructed lazily
+    d = unit(rng, 32)
+    lcsm.add_other_robot_global_descriptor(GlobalDescriptor(7, 1, d))
+    assert lcsm.other_robots_nnsm[1].data.dtype == jnp.bfloat16
+    matches = lcsm.add_local_global_descriptor(d, 1)
+    assert matches and matches[0].robot1_keyframe_id == 7
