@@ -134,3 +134,61 @@ def test_runtime_wrappers_pick_up_shipped_weights():
                         h.lightglue.variables, sep="/").keys()
                     if k.split("/")[1].startswith("transformers_")})
     assert n_layers == zoo.SHIPPED_LIGHTGLUE_LAYERS
+
+
+@needs_lg
+@needs_sp
+def test_trained_chain_verifies_offset_revisit():
+    """Full learned visual chain (SuperPoint detect -> LightGlue match ->
+    RANSAC verify -> backend factor) with the SHIPPED weights on a
+    revisit from a displaced viewpoint — the quality bar the random-init
+    structural test (test_visual_chain.py) cannot set: descriptors must
+    be distinctive enough to match across a real viewpoint change, and
+    the verified relative pose must agree with ground truth."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_visual_chain import PlaceModel, _chain_params
+    from test_rgbd_handler import INTR, make_pose, render_scene
+    from cslam_tpu.backend.decentralized_pgo import DecentralizedPGO
+    from cslam_tpu.comm.bus import InProcessBus, InProcessRouter, ManualClock
+    from cslam_tpu.frontend.global_descriptor_component import \
+        GlobalDescriptorComponent
+    from cslam_tpu.frontend.loop_closure_detection import \
+        GlobalDescriptorLoopClosureDetection
+    from cslam_tpu.frontend.rgbd_handler import RGBDHandler
+
+    router = InProcessRouter()
+    clock = ManualClock()
+    bus = InProcessBus(router, 0)
+    params = _chain_params(**{
+        "frontend.features": "learned",   # shipped ckpts auto-load
+        "frontend.lightglue_score_threshold": 0.1,
+        "frontend.pnp_min_inliers": 6,
+    })
+    model = PlaceModel()
+    handler = RGBDHandler(params, bus, clock, max_keypoints=128)
+    gdc = GlobalDescriptorComponent(params, bus, model=model, batch_size=1)
+    GlobalDescriptorLoopClosureDetection(params, bus, clock,
+                                         descriptor_model=model)
+    backend = DecentralizedPGO(params, bus, clock)
+
+    rng = np.random.default_rng(2)
+    # revisit is DISPLACED: ~0.15 m translation + 2deg yaw from keyframe 0
+    poses = [make_pose(0.0), make_pose(0.9, 0.25, 0.12),
+             make_pose(1.8, 0.0, 0.22), make_pose(0.9, -0.25, 0.12),
+             make_pose(0.12, 0.06, 0.035)]
+    for pose in poses:
+        img, depth = render_scene(pose, rng)
+        handler.add_sensor_data(img, depth, INTR, pose)
+        handler.process_new_sensor_data()
+        gdc.tick()
+        router.spin_until_idle()
+
+    loops = [f for f in backend.local_factors if f.is_loop]
+    assert loops, "trained chain verified no loop closure on the revisit"
+    lc = loops[0]
+    k0, k1 = lc.key_from[1], lc.key_to[1]
+    R_rel = poses[k0][0].T @ poses[k1][0]
+    t_rel = poses[k0][0].T @ (poses[k1][1] - poses[k0][1])
+    np.testing.assert_allclose(lc.R, R_rel, atol=0.05)
+    np.testing.assert_allclose(lc.t, t_rel, atol=0.15)
