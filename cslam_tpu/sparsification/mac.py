@@ -100,11 +100,12 @@ def _fiedler_dense(L, node_mask):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes",
-                                             "fiedler_method"))
+                                             "fiedler_method",
+                                             "lobpcg_iters", "lobpcg_block"))
 def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
                duality_gap_tol, fixed_e_i=None, fixed_e_j=None,
                fixed_w=None, *, k, max_iters, num_nodes,
-               fiedler_method="eigh"):
+               fiedler_method="eigh", lobpcg_iters=16, lobpcg_block=4):
     """Jitted Frank-Wolfe subset selection. Returns
     (w_rounded, w_unrounded, upper_bound).
 
@@ -143,21 +144,19 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
             return L_s, 2.0 * max_deg + 3.0  # sigma > lam_max(L_s)? below
 
         if fiedler_method == "warm-lobpcg":
-            BLOCK = 4
-
             def fiedler_at(w, X):
                 from jax.experimental.sparse.linalg import lobpcg_standard
                 L_s, _ = shifted(w)
                 # largest eigenpairs of sigma*I - L_s == smallest of L_s
                 sigma = 2.0 * jnp.max(jnp.diag(L_s)) + 1.0
                 theta, U, _ = lobpcg_standard(
-                    lambda Y: sigma * Y - L_s @ Y, X, m=16)
+                    lambda Y: sigma * Y - L_s @ Y, X, m=lobpcg_iters)
                 lam2 = sigma - theta[0]
                 # refresh the carried block with the converged vectors
                 return lam2, U[:, 0], U
             key = jax.random.PRNGKey(3)
             fiedler_carry0 = jax.random.normal(
-                key, (num_nodes, BLOCK), dtype=jnp.float32)
+                key, (num_nodes, lobpcg_block), dtype=jnp.float32)
         else:
             def fiedler_at(w, carry):
                 L_s, _ = shifted(w)
@@ -194,6 +193,25 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
     order = jnp.lexsort((weights, primary))
     top = order[-k:] if k > 0 else order[:0]
     w_rounded = jnp.zeros_like(w).at[top].set(1.0) if k > 0 else jnp.zeros_like(w)
+
+    # Rounding safeguard: FW with inexact (warm-lobpcg) gradients can
+    # land on a selection whose true lambda_2 is up to ~3-6x below the
+    # exact-gradient run's on clustered spectra (long chains: measured
+    # rel 0.15-0.38 on some inits). Exactly evaluate the FW rounding
+    # AND the greedy-by-weight rounding with one batched deflated eigh
+    # and return the better — bounded cost (2 eigh vs 20 in-loop ones),
+    # and the solve is provably never worse than greedy top-k, the
+    # reference's own initialization (a_c_m.py zero-budget greedy).
+    if fiedler_method != "matfree" and k > 0:
+        w_greedy = round_topk(weights)
+
+        def exact_lam2(sel):
+            L = L_fixed + laplacian_from_incidence(B, sel * weights)
+            lam2, _ = _fiedler_dense(L, node_mask)
+            return lam2
+
+        lam2s = jax.vmap(exact_lam2)(jnp.stack([w_rounded, w_greedy]))
+        w_rounded = jnp.where(lam2s[0] >= lam2s[1], w_rounded, w_greedy)
     return w_rounded, w, u
 
 
@@ -227,6 +245,11 @@ class MAC:
         # "eigh" remains available for exact solves.
         self.fiedler_method = "matfree" if self._P > _LOBPCG_NODE_THRESHOLD \
             else "warm-lobpcg"
+        # warm-lobpcg budget: iterations per FW step / carried block
+        # width. Defaults set by the clustered-spectrum sweep in
+        # test_mac_large (long chains: lambda_2..lambda_5 within ~2x).
+        self.lobpcg_iters = 16
+        self.lobpcg_block = 4
         if self.fiedler_method == "matfree":
             # dense (P, P) Laplacians are off the table at this size
             self.L_fixed = jnp.zeros((1, 1), dtype=jnp.float32)
@@ -319,7 +342,8 @@ class MAC:
             jnp.float32(duality_gap_tol),
             self._fixed_i, self._fixed_j, self._fixed_w,
             k=k, max_iters=max_iters, num_nodes=self._P,
-            fiedler_method=self.fiedler_method)
+            fiedler_method=self.fiedler_method,
+            lobpcg_iters=self.lobpcg_iters, lobpcg_block=self.lobpcg_block)
         # ONE batched device_get: three separate np.asarray/float pulls
         # are three relay roundtrips (~30 ms each measured)
         w_rounded, w, u = jax.device_get((w_rounded, w, u))
