@@ -147,6 +147,48 @@ def test_runtime_wrappers_pick_up_shipped_weights():
     assert n_layers == zoo.SHIPPED_LIGHTGLUE_LAYERS
 
 
+def _render_corner_scene(pose, rng, n=36, seed=0, H=120, W=160):
+    """Corner-rich fronto-parallel squares at z=5 on a gray gradient with
+    blur + noise — the trained detector's distribution (synthetic_shapes
+    backgrounds are mid-gray gradients; pure-black backgrounds and
+    random-texture blobs are out of distribution and yield <10 confident
+    detections)."""
+    from test_rgbd_handler import INTR
+
+    def box_blur(img):
+        out = img.copy()
+        out[1:-1, 1:-1] = (
+            img[:-2, :-2] + img[:-2, 1:-1] + img[:-2, 2:] +
+            img[1:-1, :-2] + img[1:-1, 1:-1] + img[1:-1, 2:] +
+            img[2:, :-2] + img[2:, 1:-1] + img[2:, 2:]) / 9.0
+        return out
+
+    blob_rng = np.random.default_rng(seed)
+    pts_w = np.stack([blob_rng.uniform(-5.5, 5.5, n),
+                      blob_rng.uniform(-4, 4, n),
+                      np.full(n, 5.0)], axis=1).astype(np.float32)
+    shades = np.where(blob_rng.random(n) < 0.5,
+                      blob_rng.uniform(0.0, 0.18, n),
+                      blob_rng.uniform(0.82, 1.0, n))
+    R, t = pose
+    pts_c = (pts_w - t) @ R
+    xx, _ = np.meshgrid(np.arange(W), np.arange(H))
+    img = (0.5 + 0.1 * (xx / W - 0.5)).astype(np.float32)
+    depth = np.full((H, W), 5.0, np.float32)
+    for p, sh in zip(pts_c, shades):
+        if p[2] < 0.5:
+            continue
+        u = int(INTR.fx * p[0] / p[2] + INTR.cx)
+        v = int(INTR.fy * p[1] / p[2] + INTR.cy)
+        h = 8
+        if h <= u < W - h and h <= v < H - h:
+            img[v - h:v + h, u - h:u + h] = sh
+            depth[v - h - 1:v + h + 1, u - h - 1:u + h + 1] = p[2]
+    img = box_blur(img)
+    img += rng.standard_normal((H, W)).astype(np.float32) * 0.02
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth
+
+
 @needs_lg
 @needs_sp
 def test_trained_chain_verifies_offset_revisit():
@@ -172,41 +214,7 @@ def test_trained_chain_verifies_offset_revisit():
         GlobalDescriptorLoopClosureDetection
     from cslam_tpu.frontend.rgbd_handler import RGBDHandler
 
-    H, W = 120, 160
-
-    def _box_blur(img):
-        out = img.copy()
-        out[1:-1, 1:-1] = (
-            img[:-2, :-2] + img[:-2, 1:-1] + img[:-2, 2:] +
-            img[1:-1, :-2] + img[1:-1, 1:-1] + img[1:-1, 2:] +
-            img[2:, :-2] + img[2:, 1:-1] + img[2:, 2:]) / 9.0
-        return out
-
-    def render_scene(pose, rng, n=36, seed=0):
-        blob_rng = np.random.default_rng(seed)
-        pts_w = np.stack([blob_rng.uniform(-5.5, 5.5, n),
-                          blob_rng.uniform(-4, 4, n),
-                          np.full(n, 5.0)], axis=1).astype(np.float32)
-        shades = np.where(blob_rng.random(n) < 0.5,
-                          blob_rng.uniform(0.0, 0.18, n),
-                          blob_rng.uniform(0.82, 1.0, n))
-        R, t = pose
-        pts_c = (pts_w - t) @ R
-        xx, _ = np.meshgrid(np.arange(W), np.arange(H))
-        img = (0.5 + 0.1 * (xx / W - 0.5)).astype(np.float32)
-        depth = np.full((H, W), 5.0, np.float32)
-        for p, sh in zip(pts_c, shades):
-            if p[2] < 0.5:
-                continue
-            u = int(INTR.fx * p[0] / p[2] + INTR.cx)
-            v = int(INTR.fy * p[1] / p[2] + INTR.cy)
-            h = 8
-            if h <= u < W - h and h <= v < H - h:
-                img[v - h:v + h, u - h:u + h] = sh
-                depth[v - h - 1:v + h + 1, u - h - 1:u + h + 1] = p[2]
-        img = _box_blur(img)
-        img += rng.standard_normal((H, W)).astype(np.float32) * 0.02
-        return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth
+    render_scene = _render_corner_scene
 
     router = InProcessRouter()
     clock = ManualClock()
@@ -243,3 +251,57 @@ def test_trained_chain_verifies_offset_revisit():
     t_rel = poses[k0][0].T @ (poses[k1][1] - poses[k0][1])
     np.testing.assert_allclose(lc.R, R_rel, atol=0.05)
     np.testing.assert_allclose(lc.t, t_rel, atol=0.15)
+
+
+@needs_lg
+@needs_sp
+def test_trained_inter_robot_verification():
+    """Cross-robot geometric verification with the shipped weights: the
+    broker-initiated LocalDescriptorsRequest flow ships robot 0's learned
+    keyframe features over the bus and robot 1 verifies them against its
+    own keyframe from a displaced viewpoint (reference
+    rgbd_handler.cpp:657-726 receive_local_image_descriptors)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_rgbd_handler import INTR, make_pose
+    from cslam_tpu.comm import messages as msgs
+    from cslam_tpu.comm.bus import InProcessBus, InProcessRouter, ManualClock
+    from cslam_tpu.frontend.rgbd_handler import RGBDHandler
+
+    router = InProcessRouter()
+    results = []
+    router.subscribe("/cslam/inter_robot_loop_closure", results.append)
+    handlers = {}
+    for rid in (0, 1):
+        bus = InProcessBus(router, rid)
+        handlers[rid] = (RGBDHandler({
+            "robot_id": rid, "max_nb_robots": 2,
+            "frontend.features": "learned",
+            "frontend.lightglue_score_threshold": 0.1,
+            "frontend.max_queue_size": 5,
+            "frontend.keyframe_generation_ratio_threshold": 1.0,
+            "frontend.pnp_min_inliers": 6,
+        }, bus, ManualClock(), max_keypoints=128), bus)
+
+    rng = np.random.default_rng(5)
+    pose0 = make_pose(0.0)
+    pose1 = make_pose(0.4, -0.12, -0.05)
+    img0, depth0 = _render_corner_scene(pose0, rng)
+    img1, depth1 = _render_corner_scene(pose1, rng)
+    handlers[0][0].add_sensor_data(img0, depth0, INTR, pose0)
+    handlers[0][0].process_new_sensor_data()
+    handlers[1][0].add_sensor_data(img1, depth1, INTR, pose1)
+    handlers[1][0].process_new_sensor_data()
+
+    handlers[0][1].publish("cslam/local_descriptors_request",
+                           msgs.LocalDescriptorsRequest(
+                               keyframe_id=0, matches_robot_id=[1],
+                               matches_keyframe_id=[0]))
+    router.spin_until_idle()
+
+    assert len(results) == 1 and results[0].success
+    lc = results[0]
+    R_rel = pose0[0].T @ pose1[0]
+    t_rel = pose0[0].T @ (pose1[1] - pose0[1])
+    np.testing.assert_allclose(lc.pose[0], R_rel, atol=0.05)
+    np.testing.assert_allclose(lc.pose[1], t_rel, atol=0.15)
