@@ -1,0 +1,274 @@
+#!/usr/bin/env python
+"""Visual multi-robot mission with the SHIPPED learned front-end.
+
+Unlike mission_bench.py (synthetic vector descriptors, simulated
+verification), every loop closure here is earned from pixels: robots
+render views of a shared corner-rich world, the trained SuperPoint
+extracts keypoints, the trained LightGlue matches them across robots,
+RANSAC verifies 3D geometry, and decentralized GNC-LM PGO corrects the
+drifted odometry. This is the reference fork's signature pipeline
+(rgbd_handler.cpp:263-412 SuperPoint+LightGlue keyframe gating and
+verification) exercised end to end with weights trained in-repo.
+
+    python benchmarks/visual_mission_bench.py [--robots 3] [--poses 12]
+
+Writes benchmarks/VISUAL_MISSION.json and prints a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms",
+                  os.environ.get("CSLAM_EVAL_PLATFORM", "cpu"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache", os.environ.get("CSLAM_EVAL_PLATFORM", "cpu")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cslam_tpu.backend import pgo  # noqa: E402
+from cslam_tpu.comm.bus import (InProcessBus, InProcessRouter,  # noqa: E402
+                                ManualClock)
+from cslam_tpu.frontend.global_descriptor_component import \
+    GlobalDescriptorComponent  # noqa: E402
+from cslam_tpu.frontend.rgbd_handler import (CameraIntrinsics,  # noqa: E402
+                                             RGBDHandler)
+from cslam_tpu.node import SwarmNode  # noqa: E402
+from cslam_tpu.ops import se3  # noqa: E402
+from cslam_tpu.utils.evaluation import ate_rmse  # noqa: E402
+
+H, W = 120, 160
+INTR = CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0, baseline=0.1)
+
+
+def _box_blur(img):
+    out = img.copy()
+    out[1:-1, 1:-1] = (
+        img[:-2, :-2] + img[:-2, 1:-1] + img[:-2, 2:] +
+        img[1:-1, :-2] + img[1:-1, 1:-1] + img[1:-1, 2:] +
+        img[2:, :-2] + img[2:, 1:-1] + img[2:, 2:]) / 9.0
+    return out
+
+
+class SquareWorld:
+    """Corner-rich squares on the z=5 plane over a wide shared area —
+    the trained detector's distribution (mid-gray gradient background,
+    blur + sensor noise)."""
+
+    def __init__(self, n=220, seed=0):
+        rng = np.random.default_rng(seed)
+        self.pts_w = np.stack([
+            rng.uniform(-11, 11, n), rng.uniform(-6.5, 6.5, n),
+            np.full(n, 5.0)], axis=1).astype(np.float32)
+        self.shades = np.where(rng.random(n) < 0.5,
+                               rng.uniform(0.0, 0.18, n),
+                               rng.uniform(0.82, 1.0, n))
+
+    def render(self, pose, rng):
+        R, t = pose
+        pts_c = (self.pts_w - t) @ R
+        xx, _ = np.meshgrid(np.arange(W), np.arange(H))
+        img = (0.5 + 0.1 * (xx / W - 0.5)).astype(np.float32)
+        depth = np.full((H, W), 5.0, np.float32)
+        order = np.argsort(-pts_c[:, 2])  # far to near
+        for p, sh in zip(pts_c[order], self.shades[order]):
+            if p[2] < 0.5:
+                continue
+            u = int(INTR.fx * p[0] / p[2] + INTR.cx)
+            v = int(INTR.fy * p[1] / p[2] + INTR.cy)
+            h = 8
+            if h <= u < W - h and h <= v < H - h:
+                img[v - h:v + h, u - h:u + h] = sh
+                depth[v - h - 1:v + h + 1, u - h - 1:u + h + 1] = p[2]
+        img = _box_blur(img)
+        img += rng.standard_normal((H, W)).astype(np.float32) * 0.02
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth
+
+
+class GridStatsPlaceModel:
+    """Deterministic place descriptors from 4x4 grid image statistics
+    (the CNN place models are benchmarked separately in bench.py; this
+    keeps the mission's recognition quality reproducible)."""
+
+    def __init__(self, dim=32, seed=7):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((17, dim)).astype(np.float32)
+
+    def compute_embeddings_batch(self, images):
+        out = []
+        for img in images:
+            img = np.asarray(img, dtype=np.float32)
+            if img.ndim == 3:
+                img = img.mean(axis=-1)
+            gh, gw = img.shape[0] // 4, img.shape[1] // 4
+            cells = img[:4 * gh, :4 * gw].reshape(4, gh, 4, gw)
+            stats = np.concatenate(
+                [cells.mean(axis=(1, 3)).ravel(), [img.std()]])
+            d = np.tanh(stats.astype(np.float32) / 64.0 @ self.proj)
+            out.append(d / np.linalg.norm(d))
+        return np.stack(out)
+
+
+def make_pose(x, y=0.0, yaw=0.0):
+    import jax.numpy as jnp
+    R = np.asarray(se3.so3_exp(jnp.asarray([0, 0, yaw], jnp.float32)))
+    return R.astype(np.float32), np.array([x, y, 0], np.float32)
+
+
+def trajectories(n_robots, n_poses, seed=1, drift=0.03):
+    """Overlapping out-and-back loops per robot + drifted odometry."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    true, odom = [], []
+    for rid in range(n_robots):
+        x0 = -1.5 + 1.5 * rid
+        xs = np.concatenate([
+            np.linspace(x0, x0 + 2.5, n_poses // 2),
+            np.linspace(x0 + 2.5, x0 + 0.1, n_poses - n_poses // 2)])
+        ys = 0.35 * np.sin(np.linspace(0, 2 * np.pi, n_poses) + rid)
+        yaws = 0.1 * np.sin(np.linspace(0, 2 * np.pi, n_poses) + 2 * rid)
+        poses = [make_pose(x, y, w) for x, y, w in zip(xs, ys, yaws)]
+        true.append(poses)
+        # odometry: integrate true relative motion composed with noise
+        oR, ot = [poses[0][0]], [poses[0][1]]
+        for k in range(1, n_poses):
+            Rm = poses[k - 1][0].T @ poses[k][0]
+            tm = poses[k - 1][0].T @ (poses[k][1] - poses[k - 1][1])
+            xi = rng.standard_normal(6).astype(np.float32) * drift
+            dR, dt = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(xi)))
+            Rm, tm = Rm @ dR, tm + Rm @ dt
+            oR.append(oR[-1] @ Rm)
+            ot.append(ot[-1] + oR[-2] @ tm)
+        odom.append((oR, ot))
+    return true, odom
+
+
+def make_params(robot_id, n_robots, budget=6):
+    return {
+        "robot_id": robot_id,
+        "max_nb_robots": n_robots,
+        "frontend.features": "learned",      # shipped weights auto-load
+        "frontend.lightglue_score_threshold": 0.1,
+        "frontend.pnp_min_inliers": 6,
+        "frontend.max_queue_size": 5,
+        "frontend.keyframe_generation_ratio_threshold": 1.0,
+        "frontend.similarity_threshold": 0.93,
+        "frontend.global_descriptor_technique": "custom",
+        "frontend.inter_robot_loop_closure_budget": budget,
+        "frontend.nb_best_matches": 8,
+        "frontend.intra_loop_min_inbetween_keyframes": 5,
+        "frontend.detection_publication_max_elems_per_msg": 8,
+        "frontend.enable_intra_robot_loop_closures": True,
+        "frontend.enable_sparsification": True,
+        "frontend.use_vertex_cover_selection": True,
+        "frontend.sensor_type": "rgbd",
+        "backend.max_waiting_time_sec": 60.0,
+        "neighbor_management.enable_neighbor_monitoring": False,
+        "neighbor_management.init_delay_sec": 0.0,
+        "neighbor_management.max_heartbeat_delay_sec": 5.0,
+        "evaluation.enable_logs": False,
+        "evaluation.enable_simulated_rendezvous": False,
+        "evaluation.rendezvous_schedule_file": "",
+        "evaluation.enable_sparsification_comparison": False,
+    }
+
+
+def main(n_robots=3, n_poses=12, budget=6):
+    t0 = time.perf_counter()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_e2e_swarm import run_optimization
+
+    world = SquareWorld()
+    router = InProcessRouter()
+    clock = ManualClock()
+    model = GridStatsPlaceModel()
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
+                        gnc_max_outer_iters=6)
+    nodes, handlers = {}, {}
+    for rid in range(n_robots):
+        bus = InProcessBus(router, rid)
+        params = make_params(rid, n_robots, budget)
+        handlers[rid] = RGBDHandler(params, bus, clock, max_keypoints=128)
+        GlobalDescriptorComponent(params, bus, model=model, batch_size=1)
+        nodes[rid] = SwarmNode(params, bus, clock, descriptor_model=model,
+                               pgo_config=cfg)
+    true, odom = trajectories(n_robots, n_poses)
+    t_setup = time.perf_counter()
+
+    rng = np.random.default_rng(3)
+    n_kf = 0
+    for kf in range(n_poses):
+        for rid in range(n_robots):
+            img, depth = world.render(true[rid][kf], rng)
+            handlers[rid].add_sensor_data(
+                img, depth, INTR, (odom[rid][0][kf], odom[rid][1][kf]))
+            if handlers[rid].process_new_sensor_data() is not None:
+                n_kf += 1
+        # gdc components tick over the bus
+        router.spin_until_idle(max_rounds=2000)
+    for _ in range(4):
+        for node in nodes.values():
+            node.tick_detection_publication()
+        router.spin_until_idle(max_rounds=2000)
+        for node in nodes.values():
+            node.tick_inter_robot_detection()
+        router.spin_until_idle(max_rounds=2000)
+    t_pipeline = time.perf_counter()
+
+    run_optimization(router, nodes, rounds=20)
+    t_opt = time.perf_counter()
+
+    n_intra = sum(sum(1 for f in n.backend.local_factors if f.is_loop)
+                  for n in nodes.values())
+    n_inter = sum(len(lcs)
+                  for n in nodes.values()
+                  for lcs in n.backend.inter_robot_loop_closures.values()
+                  ) // 2  # each closure is stored by both endpoints
+    n_loops = n_intra + n_inter
+    ates_raw, ates_opt = [], []
+    for rid in range(n_robots):
+        gt_t = np.stack([p[1] for p in true[rid]])
+        est = nodes[rid].backend.current_pose_estimates
+        own = sorted(k for k in est if k[0] == rid)
+        if len(own) >= 3:
+            est_t = np.stack([est[k][1] for k in own])
+            gt_sel = gt_t[[k[1] for k in own]]
+            ates_opt.append(ate_rmse(est_t, gt_sel))
+        ates_raw.append(ate_rmse(np.stack(odom[rid][1]), gt_t))
+
+    results = {
+        "platform": jax.devices()[0].platform,
+        "front_end": "learned (shipped SuperPoint + LightGlue weights)",
+        "n_robots": n_robots,
+        "n_keyframes": n_kf,
+        "verified_loop_closures": n_loops,
+        "pipeline_wall_s": t_pipeline - t_setup,
+        "optimization_wall_s": t_opt - t_pipeline,
+        "ate_rmse_odometry": float(np.mean(ates_raw)),
+        "ate_rmse_optimized": float(np.mean(ates_opt)) if ates_opt else None,
+        "ate_improvement": float(np.mean(ates_raw) / np.mean(ates_opt))
+        if ates_opt else None,
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "VISUAL_MISSION.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robots", type=int, default=3)
+    ap.add_argument("--poses", type=int, default=12)
+    ap.add_argument("--budget", type=int, default=6)
+    args = ap.parse_args()
+    main(n_robots=args.robots, n_poses=args.poses, budget=args.budget)
