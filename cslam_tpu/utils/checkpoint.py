@@ -33,6 +33,10 @@ from cslam_tpu.utils.edges import EdgeInterRobot
 def _save_descriptor_db(db, path: str):
     n = len(db)
     data = np.asarray(db.data)[:n] if n else np.zeros((0, db.dim or 0))
+    # npz cannot represent ml_dtypes bfloat16 (round-trips as raw void
+    # bytes); store as float32 — a lossless up-cast, and add_item
+    # re-rounds to the database's storage dtype on restore.
+    data = data.astype(np.float32)
     items = np.asarray([db.items[i] for i in range(n)], dtype=np.int64)
     np.savez_compressed(path, data=data, items=items)
 

@@ -77,3 +77,27 @@ def test_checkpoint_roundtrip(tmp_path):
         node2.backend.check_result_and_finish_optimization()
     router2.spin_until_idle()
     assert node2.backend.optimization_count == 1
+
+
+def test_bf16_database_checkpoint_roundtrip(tmp_path):
+    """bfloat16-storage databases survive checkpoint/restore: npz cannot
+    represent ml_dtypes bfloat16 (it round-trips as raw void bytes), so
+    the saver up-casts to float32 and add_item re-rounds on restore."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cslam_tpu.matching.descriptor_db import DescriptorDatabase
+    from cslam_tpu.utils.checkpoint import (_load_descriptor_db,
+                                            _save_descriptor_db)
+    rng = np.random.default_rng(0)
+    db = DescriptorDatabase(method="exact", storage="bfloat16")
+    for i in range(10):
+        db.add_item(rng.standard_normal(32).astype(np.float32), i)
+    path = str(tmp_path / "db.npz")
+    _save_descriptor_db(db, path)
+    db2 = DescriptorDatabase(method="exact", storage="bfloat16")
+    _load_descriptor_db(db2, path)
+    assert db2.data.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(db.data[:10], dtype=np.float32),
+        np.asarray(db2.data[:10], dtype=np.float32))
+    assert db2.items == db.items
