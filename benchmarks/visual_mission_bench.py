@@ -48,19 +48,11 @@ H, W = 120, 160
 INTR = CameraIntrinsics(fx=120.0, fy=120.0, cx=80.0, cy=60.0, baseline=0.1)
 
 
-def _box_blur(img):
-    out = img.copy()
-    out[1:-1, 1:-1] = (
-        img[:-2, :-2] + img[:-2, 1:-1] + img[:-2, 2:] +
-        img[1:-1, :-2] + img[1:-1, 1:-1] + img[1:-1, 2:] +
-        img[2:, :-2] + img[2:, 1:-1] + img[2:, 2:]) / 9.0
-    return out
-
-
 class SquareWorld:
-    """Corner-rich squares on the z=5 plane over a wide shared area —
-    the trained detector's distribution (mid-gray gradient background,
-    blur + sensor noise)."""
+    """Corner-rich squares on the z=5 plane over a wide shared area,
+    rendered by the shared in-distribution renderer
+    (cslam_tpu.frontend.sim.render_corner_scene — the same one the
+    trained-weights quality gates use)."""
 
     def __init__(self, n=220, seed=0):
         rng = np.random.default_rng(seed)
@@ -72,24 +64,9 @@ class SquareWorld:
                                rng.uniform(0.82, 1.0, n))
 
     def render(self, pose, rng):
-        R, t = pose
-        pts_c = (self.pts_w - t) @ R
-        xx, _ = np.meshgrid(np.arange(W), np.arange(H))
-        img = (0.5 + 0.1 * (xx / W - 0.5)).astype(np.float32)
-        depth = np.full((H, W), 5.0, np.float32)
-        order = np.argsort(-pts_c[:, 2])  # far to near
-        for p, sh in zip(pts_c[order], self.shades[order]):
-            if p[2] < 0.5:
-                continue
-            u = int(INTR.fx * p[0] / p[2] + INTR.cx)
-            v = int(INTR.fy * p[1] / p[2] + INTR.cy)
-            h = 8
-            if h <= u < W - h and h <= v < H - h:
-                img[v - h:v + h, u - h:u + h] = sh
-                depth[v - h - 1:v + h + 1, u - h - 1:u + h + 1] = p[2]
-        img = _box_blur(img)
-        img += rng.standard_normal((H, W)).astype(np.float32) * 0.02
-        return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth
+        from cslam_tpu.frontend.sim import render_corner_scene
+        return render_corner_scene(pose, INTR, rng, squares_w=self.pts_w,
+                                   shades=self.shades)
 
 
 class GridStatsPlaceModel:
@@ -205,12 +182,15 @@ def main(n_robots=3, n_poses=12, budget=6):
 
     rng = np.random.default_rng(3)
     n_kf = 0
+    kf_to_pose = {rid: {} for rid in range(n_robots)}  # kf id -> pose idx
     for kf in range(n_poses):
         for rid in range(n_robots):
             img, depth = world.render(true[rid][kf], rng)
             handlers[rid].add_sensor_data(
                 img, depth, INTR, (odom[rid][0][kf], odom[rid][1][kf]))
-            if handlers[rid].process_new_sensor_data() is not None:
+            kf_id = handlers[rid].process_new_sensor_data()
+            if kf_id is not None:
+                kf_to_pose[rid][kf_id] = kf
                 n_kf += 1
         # gdc components tick over the bus
         router.spin_until_idle(max_rounds=2000)
@@ -228,21 +208,30 @@ def main(n_robots=3, n_poses=12, budget=6):
 
     n_intra = sum(sum(1 for f in n.backend.local_factors if f.is_loop)
                   for n in nodes.values())
+    # the inter-robot closure topic is an absolute broadcast: every
+    # robot's backend stores every closure, so divide by n_robots
     n_inter = sum(len(lcs)
                   for n in nodes.values()
                   for lcs in n.backend.inter_robot_loop_closures.values()
-                  ) // 2  # each closure is stored by both endpoints
+                  ) // n_robots
     n_loops = n_intra + n_inter
+    # raw/optimized ATE over the SAME robot subset (a robot without
+    # optimized estimates must not skew the improvement ratio), with
+    # ground truth aligned through the keyframe-id -> pose-index map
+    # (the keyframe gate may drop frames, so kf id != pose index)
     ates_raw, ates_opt = [], []
     for rid in range(n_robots):
         gt_t = np.stack([p[1] for p in true[rid]])
         est = nodes[rid].backend.current_pose_estimates
-        own = sorted(k for k in est if k[0] == rid)
-        if len(own) >= 3:
-            est_t = np.stack([est[k][1] for k in own])
-            gt_sel = gt_t[[k[1] for k in own]]
-            ates_opt.append(ate_rmse(est_t, gt_sel))
-        ates_raw.append(ate_rmse(np.stack(odom[rid][1]), gt_t))
+        own = [k for k in sorted(est) if k[0] == rid
+               and k[1] in kf_to_pose[rid]]
+        if len(own) < 3:
+            continue
+        pose_idx = [kf_to_pose[rid][k[1]] for k in own]
+        est_t = np.stack([est[k][1] for k in own])
+        ates_opt.append(ate_rmse(est_t, gt_t[pose_idx]))
+        ates_raw.append(ate_rmse(
+            np.stack([odom[rid][1][i] for i in pose_idx]), gt_t[pose_idx]))
 
     results = {
         "platform": jax.devices()[0].platform,
@@ -252,7 +241,8 @@ def main(n_robots=3, n_poses=12, budget=6):
         "verified_loop_closures": n_loops,
         "pipeline_wall_s": t_pipeline - t_setup,
         "optimization_wall_s": t_opt - t_pipeline,
-        "ate_rmse_odometry": float(np.mean(ates_raw)),
+        "n_robots_evaluated": len(ates_opt),
+        "ate_rmse_odometry": float(np.mean(ates_raw)) if ates_raw else None,
         "ate_rmse_optimized": float(np.mean(ates_opt)) if ates_opt else None,
         "ate_improvement": float(np.mean(ates_raw) / np.mean(ates_opt))
         if ates_opt else None,

@@ -70,9 +70,10 @@ class FrontendConfig:
     # occasional missed candidate, not a wrong edge).
     nns_method: str = "auto"
     # Descriptor-database storage dtype: "float32" or "bfloat16" (halves
-    # HBM footprint/traffic; the pallas kernel then runs the MXU's
-    # native bf16 path — ~2x the exact-search throughput at top-k recall
-    # ~1.0 vs f32 for CNN descriptors).
+    # HBM footprint/traffic and feeds the pallas kernel's matmul the
+    # MXU's native bf16 path; top-k recall ~1.0 vs f32 for CNN
+    # descriptors. The throughput gain is measured by bench.py's
+    # pallas_bf16 variant — see benchmarks/BENCH_DETAIL.json).
     nns_storage: str = "float32"
     # Lidar keyframe spacing (lidar_handler_node.py keyframe distance gate)
     kf_distance_threshold: float = 1.0

@@ -215,7 +215,7 @@ def test_bf16_storage_matches_f32_results():
 
     lcsm = LoopClosureSparseMatching(
         set_params(**{"frontend.nns_storage": "bfloat16"}))
-    assert lcsm.local_nnsm.data is None or True  # constructed lazily
+    assert lcsm.local_nnsm.data is None  # allocated lazily on first add
     d = unit(rng, 32)
     lcsm.add_other_robot_global_descriptor(GlobalDescriptor(7, 1, d))
     assert lcsm.other_robots_nnsm[1].data.dtype == jnp.bfloat16

@@ -147,46 +147,14 @@ def test_runtime_wrappers_pick_up_shipped_weights():
     assert n_layers == zoo.SHIPPED_LIGHTGLUE_LAYERS
 
 
-def _render_corner_scene(pose, rng, n=36, seed=0, H=120, W=160):
-    """Corner-rich fronto-parallel squares at z=5 on a gray gradient with
-    blur + noise — the trained detector's distribution (synthetic_shapes
-    backgrounds are mid-gray gradients; pure-black backgrounds and
-    random-texture blobs are out of distribution and yield <10 confident
-    detections)."""
+def _render_corner_scene(pose, rng, n=36, seed=0):
+    """In-distribution rendered view — one shared implementation in
+    cslam_tpu.frontend.sim (the visual mission benchmark uses it too)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
     from test_rgbd_handler import INTR
-
-    def box_blur(img):
-        out = img.copy()
-        out[1:-1, 1:-1] = (
-            img[:-2, :-2] + img[:-2, 1:-1] + img[:-2, 2:] +
-            img[1:-1, :-2] + img[1:-1, 1:-1] + img[1:-1, 2:] +
-            img[2:, :-2] + img[2:, 1:-1] + img[2:, 2:]) / 9.0
-        return out
-
-    blob_rng = np.random.default_rng(seed)
-    pts_w = np.stack([blob_rng.uniform(-5.5, 5.5, n),
-                      blob_rng.uniform(-4, 4, n),
-                      np.full(n, 5.0)], axis=1).astype(np.float32)
-    shades = np.where(blob_rng.random(n) < 0.5,
-                      blob_rng.uniform(0.0, 0.18, n),
-                      blob_rng.uniform(0.82, 1.0, n))
-    R, t = pose
-    pts_c = (pts_w - t) @ R
-    xx, _ = np.meshgrid(np.arange(W), np.arange(H))
-    img = (0.5 + 0.1 * (xx / W - 0.5)).astype(np.float32)
-    depth = np.full((H, W), 5.0, np.float32)
-    for p, sh in zip(pts_c, shades):
-        if p[2] < 0.5:
-            continue
-        u = int(INTR.fx * p[0] / p[2] + INTR.cx)
-        v = int(INTR.fy * p[1] / p[2] + INTR.cy)
-        h = 8
-        if h <= u < W - h and h <= v < H - h:
-            img[v - h:v + h, u - h:u + h] = sh
-            depth[v - h - 1:v + h + 1, u - h - 1:u + h + 1] = p[2]
-    img = box_blur(img)
-    img += rng.standard_normal((H, W)).astype(np.float32) * 0.02
-    return (np.clip(img, 0, 1) * 255).astype(np.uint8), depth
+    from cslam_tpu.frontend.sim import render_corner_scene
+    return render_corner_scene(pose, INTR, rng, n=n, seed=seed)
 
 
 @needs_lg
