@@ -496,11 +496,38 @@ def bench_hot_loops():
     return out
 
 
+def _tpu_reachable(timeout_s=480):
+    """Probe the axon TPU backend in a SUBPROCESS with a hard timeout.
+
+    A downed tunnel does not raise — backend init retries internally
+    (observed: a probe still spinning 2.5 h after the tunnel died on
+    2026-08-18), which would hang the whole benchmark. The healthy dial
+    takes ~3.5 min, so 8 min of budget separates slow from dead.
+    Set CSLAM_BENCH_SKIP_PROBE=1 to skip (saves one tunnel dial when
+    the TPU is known to be up)."""
+    import subprocess
+    if os.environ.get("CSLAM_BENCH_SKIP_PROBE"):
+        return True
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; d = jax.devices(); "
+             "sys.exit(0 if d and d[0].platform == 'tpu' else 3)"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
 
     # If the TPU backend is unreachable (tunnel down), fall back to CPU
     # so the benchmark still emits its JSON line (marked by platform).
+    if not _tpu_reachable():
+        _log("TPU backend unreachable within the probe budget; "
+             "falling back to CPU (numbers are NOT chip numbers)")
+        jax.config.update("jax_platforms", "cpu")
     try:
         devices = jax.devices()
     except Exception as exc:  # backend init failure
@@ -534,10 +561,13 @@ def main():
     with open("benchmarks/BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
 
+    unit = "queries/s vs 100k-item db (cosine top-10, per chip)"
+    if platform != "tpu":
+        unit += f" [{platform.upper()} FALLBACK — TPU tunnel unreachable]"
     print(json.dumps({
         "metric": "loop_closure_matching_throughput",
         "value": round(qps, 1),
-        "unit": "queries/s vs 100k-item db (cosine top-10, per chip)",
+        "unit": unit,
         "vs_baseline": round(qps / baseline_qps, 1),
     }))
 
