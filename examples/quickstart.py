@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""cslam_tpu quickstart: the library surface in four bites.
+"""cslam_tpu quickstart: the library surface in five bites.
 
 Runs on CPU in under a minute (set up like tests/conftest.py); the same
 code runs unchanged on a TPU chip — drop the platform override.
@@ -112,9 +112,37 @@ def budgeted_loop_closure_selection():
           f"(lambda2 upper bound {res.upper_bound:.3f})")
 
 
+def learned_feature_matching():
+    """5. Shipped SuperPoint + LightGlue: detect and match across a
+    synthetic homography warp with the in-repo-trained weights."""
+    from cslam_tpu.models import zoo
+    sp_ckpt = zoo.shipped_checkpoint("superpoint_synth.npz")
+    lg_ckpt = zoo.shipped_checkpoint("lightglue_synth.npz")
+    if not (sp_ckpt and lg_ckpt):
+        print("[learned] shipped weights absent; skipping")
+        return
+    from cslam_tpu.models.superpoint import SuperPoint
+    from cslam_tpu.models.lightglue import LightGlue
+    from cslam_tpu.models.synthetic_shapes import make_pair_sample
+
+    rng = np.random.default_rng(0)
+    pair = make_pair_sample(rng, 120, 160)
+    sp = SuperPoint(checkpoint=sp_ckpt, max_keypoints=128)
+    lg = LightGlue(checkpoint=lg_ckpt,
+                   num_layers=zoo.SHIPPED_LIGHTGLUE_LAYERS)
+    xy0, d0, s0, m0 = sp.extract_features(pair["img0"])
+    xy1, d1, s1, m1 = sp.extract_features(pair["img1"])
+    idx1, valid = lg.match(d0, xy0, m0, d1, xy1, m1, size=(160, 120))
+    print(f"[learned] {int(np.asarray(m0).sum())}+"
+          f"{int(np.asarray(m1).sum())} keypoints, "
+          f"{int(np.asarray(valid).sum())} LightGlue matches "
+          f"across the warp")
+
+
 if __name__ == "__main__":
     descriptor_matching()
     point_cloud_registration()
     robust_pose_graph_optimization()
     budgeted_loop_closure_selection()
+    learned_feature_matching()
     print("quickstart ok")
