@@ -200,6 +200,11 @@ class RGBDHandler:
             dtype=jnp.float32)
         if img.ndim == 3:
             img = jnp.mean(img, axis=-1)
+        # (W, H) for LightGlue keypoint normalization — must match the
+        # training-time convention (center at size/2, scale by max/2);
+        # normalizing by keypoint bounds instead distorts the rotary
+        # positional encodings the matcher's consensus relies on
+        self._image_size = (int(img.shape[1]), int(img.shape[0]))
         if self.superpoint is not None:
             xy, desc, scores, mask = self.superpoint.extract_features(
                 img, max_keypoints=self.max_keypoints)
@@ -229,7 +234,8 @@ class RGBDHandler:
         if self.lightglue is not None and xy_b is not None:
             idx1, valid = self.lightglue.match(
                 kf_a.descriptors, kf_a.keypoints, kf_a.mask,
-                desc_b, xy_b, mask_b)
+                desc_b, xy_b, mask_b,
+                size=getattr(self, "_image_size", None))
             matched = np.asarray(pts_b)[idx1]
             result = matching2d.ransac_rigid3d(
                 jnp.asarray(kf_a.points3d), jnp.asarray(matched),
@@ -575,6 +581,11 @@ class StereoHandler(RGBDHandler):
             dtype=jnp.float32)
         if img.ndim == 3:
             img = jnp.mean(img, axis=-1)
+        # (W, H) for LightGlue keypoint normalization — must match the
+        # training-time convention (center at size/2, scale by max/2);
+        # normalizing by keypoint bounds instead distorts the rotary
+        # positional encodings the matcher's consensus relies on
+        self._image_size = (int(img.shape[1]), int(img.shape[0]))
         if self.superpoint is not None:
             xy, desc, scores, mask = self.superpoint.extract_features(
                 img, max_keypoints=self.max_keypoints)
