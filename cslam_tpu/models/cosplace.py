@@ -139,6 +139,11 @@ class CosPlace:
         self.fc_output_dim = params.get("frontend.global_descriptor_dim", 64)
         self.crop_size = params.get("frontend.image_crop_size", 224)
         self.checkpoint = params.get("frontend.nn_checkpoint", "disable")
+        if self.checkpoint == "shipped":
+            # self-trained weights under models/weights/ (zoo docstring);
+            # resolves to "" (-> disabled) when the file is absent
+            from cslam_tpu.models import zoo
+            self.checkpoint = zoo.shipped_checkpoint("cosplace_synth.npz")
         self.enabled = self.checkpoint not in ("", "disable", None)
         self._rng = np.random.default_rng(rng_seed)
         self.model = GeoLocalizationNet(fc_output_dim=self.fc_output_dim)

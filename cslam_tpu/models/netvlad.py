@@ -97,6 +97,14 @@ class NetVLAD:
         self.checkpoint = params.get("frontend.nn_checkpoint", "disable")
         self.pca_checkpoint = params.get("frontend.netvlad.pca_checkpoint",
                                          "")
+        if self.checkpoint == "shipped":
+            # self-trained weights under models/weights/ (zoo docstring);
+            # resolves to "" (-> disabled) when the file is absent
+            from cslam_tpu.models import zoo
+            self.checkpoint = zoo.shipped_checkpoint("netvlad_synth.npz")
+            if self.checkpoint and not self.pca_checkpoint:
+                self.pca_checkpoint = zoo.shipped_checkpoint(
+                    "netvlad_pca_synth.npz")
         self.enabled = self.checkpoint not in ("", "disable", None)
         self.descriptor_dim = params.get("frontend.global_descriptor_dim",
                                          128)
@@ -127,11 +135,21 @@ class NetVLAD:
         if not self.enabled:
             v = self._rng.standard_normal(self.descriptor_dim)
             return (v / np.linalg.norm(v)).astype(np.float32)
+        return self.compute_embeddings_batch(np.asarray(image)[None])[0]
+
+    def compute_embeddings_batch(self, images: np.ndarray) -> np.ndarray:
+        """Batched descriptors — one XLA program over all pending
+        keyframes (the TPU-native path GlobalDescriptorComponent uses)."""
+        if not self.enabled:
+            v = self._rng.standard_normal(
+                (len(images), self.descriptor_dim))
+            return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(
+                np.float32)
         from cslam_tpu.models.cosplace import preprocess
-        batch = preprocess(image)
+        batch = preprocess(images)
         out = np.asarray(self._apply(self.variables, jnp.asarray(batch)))
         if self.pca_components is not None:
             out = (out - self.pca_mean) @ self.pca_components.T
             out = out / np.maximum(
                 np.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
-        return out[0].astype(np.float32)
+        return out.astype(np.float32)

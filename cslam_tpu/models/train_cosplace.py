@@ -1,0 +1,235 @@
+"""Self-training for the CosPlace global-descriptor CNN on synthetic
+rendered scenes — fills the role of the reference's downloaded
+EigenPlaces/CosPlace checkpoint
+(/root/reference/models/download.sh, /root/reference/cslam/vpr/cosplace.py)
+in an offline environment.
+
+Training signal: supervised-contrastive (NT-Xent) place recognition over
+a persistent rendered world (frontend/sim.py:render_corner_scene — the
+same image distribution the shipped SuperPoint operates on). A "place"
+is a camera position; its views are renders from pose-jittered cameras
+with sensor noise. Same place => embeddings close, different places =>
+far. This is the offline stand-in for CosPlace's CosFace classification
+over geo-cells (cosplace_utils/network.py) — same model, same deploy
+path, synthetic supervision.
+
+Run (CPU, ~1 h):
+    python -m cslam_tpu.models.train_cosplace --steps 1500
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(_HERE)))
+
+
+class _Intr:
+    fx = 120.0
+    fy = 120.0
+    cx = 80.0
+    cy = 60.0
+
+
+def make_world(seed, n=160):
+    """Persistent world: corner squares on the z=5 plane, spread wide
+    enough that different camera positions see different subsets."""
+    rng = np.random.default_rng(seed)
+    squares_w = np.stack([rng.uniform(-7.0, 7.0, n),
+                          rng.uniform(-5.5, 5.5, n),
+                          np.full(n, 5.0)], axis=1).astype(np.float32)
+    shades = np.where(rng.random(n) < 0.5,
+                      rng.uniform(0.0, 0.18, n),
+                      rng.uniform(0.82, 1.0, n))
+    return squares_w, shades
+
+
+def _yaw_R(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def render_view(world, xy, rng, jitter_t=0.0, jitter_yaw=0.0):
+    from cslam_tpu.frontend.sim import render_corner_scene
+    squares_w, shades = world
+    t = np.array([xy[0] + rng.uniform(-jitter_t, jitter_t),
+                  xy[1] + rng.uniform(-jitter_t, jitter_t), 0.0],
+                 np.float32)
+    R = _yaw_R(rng.uniform(-jitter_yaw, jitter_yaw))
+    img, _ = render_corner_scene((R, t), _Intr, rng,
+                                 squares_w=squares_w, shades=shades)
+    return img
+
+
+def sample_places(rng, n_places, cell=1.2):
+    """Distinct camera positions: pick grid cells without replacement and
+    jitter inside each — guarantees >= cell/3 separation without the
+    rejection-sampling pathology of dense min-dist packing."""
+    xs = np.arange(-3.0, 3.01, cell)
+    ys = np.arange(-2.5, 2.51, cell)
+    cells = np.stack(np.meshgrid(xs, ys), axis=-1).reshape(-1, 2)
+    if n_places > len(cells):
+        raise ValueError(f"n_places {n_places} > grid cells {len(cells)}")
+    idx = rng.choice(len(cells), n_places, replace=False)
+    jitter = rng.uniform(-cell / 3, cell / 3, (n_places, 2))
+    return (cells[idx] + jitter).astype(np.float32)
+
+
+def make_batch(rng, world, n_places, n_views, jitter_t, jitter_yaw,
+               crop_size):
+    from cslam_tpu.models.cosplace import preprocess
+    places = sample_places(rng, n_places)
+    imgs, labels = [], []
+    for pid, xy in enumerate(places):
+        for _ in range(n_views):
+            g = rng.integers(0, 2**31)
+            vr = np.random.default_rng(g)
+            im = render_view(world, xy, vr, jitter_t, jitter_yaw)
+            imgs.append(np.broadcast_to(im[..., None], im.shape + (3,)))
+            labels.append(pid)
+    batch = preprocess(np.stack(imgs), crop_size)
+    return batch.astype(np.float32), np.asarray(labels, np.int32)
+
+
+def build_train_step(model, lr, steps, temperature=0.1):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05))
+
+    def supcon_loss(emb, labels):
+        """Supervised NT-Xent: all same-place pairs are positives."""
+        sim = emb @ emb.T / temperature
+        n = emb.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        pos = (labels[:, None] == labels[None, :]) & ~eye
+        sim = jnp.where(eye, -1e9, sim)
+        logz = jax.nn.logsumexp(sim, axis=1, keepdims=True)
+        logp = sim - logz
+        per_anchor = -jnp.sum(jnp.where(pos, logp, 0.0), axis=1) / \
+            jnp.maximum(pos.sum(axis=1), 1)
+        return jnp.mean(per_anchor)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, images, labels):
+        def loss_fn(p):
+            emb, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images,
+                train=True, mutable=["batch_stats"])
+            return supcon_loss(emb, labels), updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    return tx, train_step
+
+
+def eval_recall(model, variables, seed=9999, n_places=24, crop_size=224,
+                displacement=0.35, yaw=0.06):
+    """Recall@1 on a HELD-OUT world: query view must retrieve the other
+    view of the same place (top-1 excluding self)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    world = make_world(seed, n=160)
+    batch, labels = make_batch(rng, world, n_places, 2,
+                               displacement, yaw, crop_size)
+    emb = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(
+            variables, jnp.asarray(batch)))
+    sim = emb @ emb.T
+    np.fill_diagonal(sim, -np.inf)
+    top1 = sim.argmax(axis=1)
+    return float((labels[top1] == labels).mean())
+
+
+def save_variables(variables, path):
+    from flax.traverse_util import flatten_dict
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(variables).items()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--places", type=int, default=8)
+    ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--crop-size", type=int, default=224)
+    ap.add_argument("--jitter-t", type=float, default=0.3)
+    ap.add_argument("--jitter-yaw", type=float, default=0.05)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start from an existing .npz checkpoint")
+    ap.add_argument("--out", default="cslam_tpu/models/weights/"
+                                     "cosplace_synth.npz")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(_HERE)),
+                                   ".jax_cache", "train"))
+    import jax.numpy as jnp
+    from cslam_tpu.models.cosplace import GeoLocalizationNet
+
+    model = GeoLocalizationNet(fc_output_dim=args.dim)
+    rng = np.random.default_rng(args.seed)
+    world = make_world(args.seed, n=160)
+
+    dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(args.seed), dummy)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.init_from:
+        from flax.traverse_util import unflatten_dict
+        with np.load(args.init_from) as data:
+            v = unflatten_dict({tuple(k.split("/")): jnp.asarray(x)
+                                for k, x in data.items()})
+        params, batch_stats = v["params"], v["batch_stats"]
+        print("warm-started from", args.init_from, flush=True)
+
+    r0 = eval_recall(model, {"params": params, "batch_stats": batch_stats},
+                     crop_size=args.crop_size)
+    print(f"recall@1 before training: {r0:.3f}", flush=True)
+
+    tx, train_step = build_train_step(model, args.lr, args.steps)
+    opt_state = tx.init(params)
+
+    t0 = time.time()
+    for step in range(args.steps):
+        images, labels = make_batch(rng, world, args.places, args.views,
+                                    args.jitter_t, args.jitter_yaw,
+                                    args.crop_size)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state,
+            jnp.asarray(images), jnp.asarray(labels))
+        if step % 25 == 0 or step == args.steps - 1:
+            print(f"step {step} loss {float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if step % 250 == 249 or step == args.steps - 1:
+            rec = eval_recall(model,
+                              {"params": params,
+                               "batch_stats": batch_stats},
+                              crop_size=args.crop_size)
+            print(f"  eval recall@1 (held-out world): {rec:.3f}",
+                  flush=True)
+    save_variables({"params": params, "batch_stats": batch_stats},
+                   args.out)
+    print("saved", args.out, flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

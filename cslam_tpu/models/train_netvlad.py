@@ -1,0 +1,179 @@
+"""Self-training for the NetVLAD place-recognition model on synthetic
+rendered scenes — the NetVLAD counterpart of train_cosplace.py (see that
+module for the task design; the reference instead downloads a Pittsburgh
+-trained checkpoint, /root/reference/cslam/vpr/netvlad.py:169-196).
+
+Differences from the CosPlace run:
+- VGG16 has no normalization layers, so there is no mutable batch-stats
+  state and spatial size transfers cleanly — training renders are
+  embedded at crop 128 (~2.5x cheaper than 224) while deployment stays
+  at the wrapper's default 224.
+- The raw VLAD descriptor is 64 clusters x 512 dims; after training, a
+  PCA projection to `--pca-dim` is fitted on training-world descriptors
+  and shipped alongside (netvlad_pca_synth.npz: mean + components), the
+  same two-file layout the reference uses (netvlad.py:218-231).
+
+Run (CPU, ~1.5 h):
+    python -m cslam_tpu.models.train_netvlad --steps 800
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(_HERE)))
+
+from cslam_tpu.models.train_cosplace import (  # noqa: E402
+    make_batch, make_world, save_variables)
+
+
+def build_train_step(model, lr, steps, temperature=0.1):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    tx = optax.adam(optax.cosine_decay_schedule(lr, steps, 0.05))
+
+    def supcon_loss(emb, labels):
+        sim = emb @ emb.T / temperature
+        n = emb.shape[0]
+        eye = jnp.eye(n, dtype=bool)
+        pos = (labels[:, None] == labels[None, :]) & ~eye
+        sim = jnp.where(eye, -1e9, sim)
+        logz = jax.nn.logsumexp(sim, axis=1, keepdims=True)
+        per_anchor = -jnp.sum(
+            jnp.where(pos, sim - logz, 0.0), axis=1) / \
+            jnp.maximum(pos.sum(axis=1), 1)
+        return jnp.mean(per_anchor)
+
+    @jax.jit
+    def train_step(params, opt_state, images, labels):
+        def loss_fn(p):
+            emb = model.apply({"params": p}, images)
+            return supcon_loss(emb, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return tx, train_step
+
+
+def eval_recall(model, variables, seed=9999, n_places=24, crop_size=128,
+                displacement=0.35, yaw=0.06):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    world = make_world(seed, n=160)
+    batch, labels = make_batch(rng, world, n_places, 2,
+                               displacement, yaw, crop_size)
+    emb = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x))(variables, jnp.asarray(batch)))
+    sim = emb @ emb.T
+    np.fill_diagonal(sim, -np.inf)
+    top1 = sim.argmax(axis=1)
+    return float((labels[top1] == labels).mean())
+
+
+def fit_pca(model, variables, pca_dim, seed, crop_size, n_batches=6):
+    """PCA basis over descriptors of training-distribution renders
+    (reference ships WPCA trained the same way, netvlad.py:218-231)."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda v, x: model.apply(v, x))
+    descs = []
+    rng = np.random.default_rng(seed + 1)
+    for b in range(n_batches):
+        world = make_world(seed + 100 + b, n=160)
+        batch, _ = make_batch(rng, world, 12, 2, 0.3, 0.05, crop_size)
+        descs.append(np.asarray(f(variables, jnp.asarray(batch))))
+    X = np.concatenate(descs)            # (N, 32768)
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    # economy SVD: N << D, eigenvectors from the N x N gram matrix
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    comps = Vt[:pca_dim]                 # (pca_dim, D)
+    return mean.astype(np.float32), comps.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--places", type=int, default=8)
+    ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--crop-size", type=int, default=128)
+    ap.add_argument("--pca-dim", type=int, default=128)
+    ap.add_argument("--jitter-t", type=float, default=0.3)
+    ap.add_argument("--jitter-yaw", type=float, default=0.05)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--init-from", default="")
+    ap.add_argument("--out", default="cslam_tpu/models/weights/"
+                                     "netvlad_synth.npz")
+    ap.add_argument("--pca-out", default="cslam_tpu/models/weights/"
+                                         "netvlad_pca_synth.npz")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(_HERE)),
+                                   ".jax_cache", "train"))
+    import jax.numpy as jnp
+    from cslam_tpu.models.netvlad import NetVLADNet
+
+    model = NetVLADNet()
+    rng = np.random.default_rng(args.seed)
+    world = make_world(args.seed, n=160)
+
+    dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(args.seed), dummy)
+    params = variables["params"]
+    if args.init_from:
+        from flax.traverse_util import unflatten_dict
+        with np.load(args.init_from) as data:
+            v = unflatten_dict({tuple(k.split("/")): jnp.asarray(x)
+                                for k, x in data.items()})
+        params = v["params"]
+        print("warm-started from", args.init_from, flush=True)
+
+    r0 = eval_recall(model, {"params": params}, crop_size=args.crop_size)
+    print(f"recall@1 before training: {r0:.3f}", flush=True)
+
+    tx, train_step = build_train_step(model, args.lr, args.steps)
+    opt_state = tx.init(params)
+
+    t0 = time.time()
+    for step in range(args.steps):
+        images, labels = make_batch(rng, world, args.places, args.views,
+                                    args.jitter_t, args.jitter_yaw,
+                                    args.crop_size)
+        params, opt_state, loss = train_step(
+            params, opt_state, jnp.asarray(images), jnp.asarray(labels))
+        if step % 25 == 0 or step == args.steps - 1:
+            print(f"step {step} loss {float(loss):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+        if step % 200 == 199 or step == args.steps - 1:
+            rec = eval_recall(model, {"params": params},
+                              crop_size=args.crop_size)
+            print(f"  eval recall@1 (held-out world): {rec:.3f}",
+                  flush=True)
+    save_variables({"params": params}, args.out)
+    print("saved", args.out, flush=True)
+
+    mean, comps = fit_pca(model, {"params": params}, args.pca_dim,
+                          args.seed, args.crop_size)
+    os.makedirs(os.path.dirname(args.pca_out) or ".", exist_ok=True)
+    np.savez_compressed(args.pca_out, mean=mean, components=comps)
+    print("saved", args.pca_out, flush=True)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
