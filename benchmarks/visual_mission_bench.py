@@ -93,6 +93,23 @@ class GridStatsPlaceModel:
         return np.stack(out)
 
 
+def make_place_model(kind="auto"):
+    """'cosplace' = the shipped self-trained CNN (fully learned mission:
+    place recognition AND keypoints AND matching from trained weights);
+    'gridstats' = deterministic image statistics; 'auto' picks cosplace
+    when its shipped checkpoint exists."""
+    if kind == "auto":
+        from cslam_tpu.models import zoo
+        kind = ("cosplace" if zoo.shipped_checkpoint("cosplace_synth.npz")
+                else "gridstats")
+    if kind == "cosplace":
+        from cslam_tpu.models.cosplace import CosPlace
+        model = CosPlace({"frontend.nn_checkpoint": "shipped"})
+        assert model.enabled, "no shipped cosplace weights"
+        return model, "cosplace (shipped self-trained weights)"
+    return GridStatsPlaceModel(), "gridstats"
+
+
 def make_pose(x, y=0.0, yaw=0.0):
     import jax.numpy as jnp
     R = np.asarray(se3.so3_exp(jnp.asarray([0, 0, yaw], jnp.float32)))
@@ -127,7 +144,7 @@ def trajectories(n_robots, n_poses, seed=1, drift=0.03):
     return true, odom
 
 
-def make_params(robot_id, n_robots, budget=6):
+def make_params(robot_id, n_robots, budget=6, sim_threshold=0.93):
     return {
         "robot_id": robot_id,
         "max_nb_robots": n_robots,
@@ -136,7 +153,7 @@ def make_params(robot_id, n_robots, budget=6):
         "frontend.pnp_min_inliers": 6,
         "frontend.max_queue_size": 5,
         "frontend.keyframe_generation_ratio_threshold": 1.0,
-        "frontend.similarity_threshold": 0.93,
+        "frontend.similarity_threshold": sim_threshold,
         "frontend.global_descriptor_technique": "custom",
         "frontend.inter_robot_loop_closure_budget": budget,
         "frontend.nb_best_matches": 8,
@@ -157,7 +174,8 @@ def make_params(robot_id, n_robots, budget=6):
     }
 
 
-def main(n_robots=3, n_poses=12, budget=6):
+def main(n_robots=3, n_poses=12, budget=6, place_model="auto",
+         sim_threshold=0.93):
     t0 = time.perf_counter()
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "..", "tests"))
@@ -166,13 +184,13 @@ def main(n_robots=3, n_poses=12, budget=6):
     world = SquareWorld()
     router = InProcessRouter()
     clock = ManualClock()
-    model = GridStatsPlaceModel()
+    model, place_name = make_place_model(place_model)
     cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
                         gnc_max_outer_iters=6)
     nodes, handlers = {}, {}
     for rid in range(n_robots):
         bus = InProcessBus(router, rid)
-        params = make_params(rid, n_robots, budget)
+        params = make_params(rid, n_robots, budget, sim_threshold)
         handlers[rid] = RGBDHandler(params, bus, clock, max_keypoints=128)
         GlobalDescriptorComponent(params, bus, model=model, batch_size=1)
         nodes[rid] = SwarmNode(params, bus, clock, descriptor_model=model,
@@ -236,6 +254,7 @@ def main(n_robots=3, n_poses=12, budget=6):
     results = {
         "platform": jax.devices()[0].platform,
         "front_end": "learned (shipped SuperPoint + LightGlue weights)",
+        "place_model": place_name,
         "n_robots": n_robots,
         "n_keyframes": n_kf,
         "verified_loop_closures": n_loops,
@@ -260,5 +279,9 @@ if __name__ == "__main__":
     ap.add_argument("--robots", type=int, default=3)
     ap.add_argument("--poses", type=int, default=12)
     ap.add_argument("--budget", type=int, default=6)
+    ap.add_argument("--place-model", default="auto",
+                    choices=["auto", "cosplace", "gridstats"])
+    ap.add_argument("--sim-threshold", type=float, default=0.93)
     args = ap.parse_args()
-    main(n_robots=args.robots, n_poses=args.poses, budget=args.budget)
+    main(n_robots=args.robots, n_poses=args.poses, budget=args.budget,
+         place_model=args.place_model, sim_threshold=args.sim_threshold)

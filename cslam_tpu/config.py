@@ -22,7 +22,7 @@ class FrontendConfig:
     # Loop-closure detection (loop_closure_detection_node.py:20-44)
     similarity_threshold: float = 0.9
     global_descriptor_technique: str = "cosplace"  # cosplace|netvlad|scancontext
-    nn_checkpoint: str = ""  # "" or "disable" => random descriptors (testing)
+    nn_checkpoint: str = ""  # ""/"disable" => random (testing); "shipped" => self-trained weights in models/weights/
     netvlad_pca_checkpoint: str = ""
     inter_robot_loop_closure_budget: int = 5
     inter_robot_detection_period_sec: float = 5.0

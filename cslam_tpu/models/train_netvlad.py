@@ -65,19 +65,22 @@ def build_train_step(model, lr, steps, temperature=0.1):
 
 
 def eval_recall(model, variables, seed=9999, n_places=24, crop_size=128,
-                displacement=0.35, yaw=0.06):
+                displacement=0.35, yaw=0.06, n_worlds=3):
     import jax
     import jax.numpy as jnp
-    rng = np.random.default_rng(seed)
-    world = make_world(seed, n=160)
-    batch, labels = make_batch(rng, world, n_places, 2,
-                               displacement, yaw, crop_size)
-    emb = np.asarray(jax.jit(
-        lambda v, x: model.apply(v, x))(variables, jnp.asarray(batch)))
-    sim = emb @ emb.T
-    np.fill_diagonal(sim, -np.inf)
-    top1 = sim.argmax(axis=1)
-    return float((labels[top1] == labels).mean())
+    f = jax.jit(lambda v, x: model.apply(v, x))
+    recalls = []
+    for w in range(n_worlds):
+        rng = np.random.default_rng(seed + 17 * w)
+        world = make_world(seed + 17 * w, n=160)
+        batch, labels = make_batch(rng, world, n_places, 2,
+                                   displacement, yaw, crop_size)
+        emb = np.asarray(f(variables, jnp.asarray(batch)))
+        sim = emb @ emb.T
+        np.fill_diagonal(sim, -np.inf)
+        top1 = sim.argmax(axis=1)
+        recalls.append(float((labels[top1] == labels).mean()))
+    return float(np.mean(recalls))
 
 
 def fit_pca(model, variables, pca_dim, seed, crop_size, n_batches=6):
@@ -131,7 +134,6 @@ def main():
 
     model = NetVLADNet()
     rng = np.random.default_rng(args.seed)
-    world = make_world(args.seed, n=160)
 
     dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(args.seed), dummy)
@@ -151,7 +153,11 @@ def main():
     opt_state = tx.init(params)
 
     t0 = time.time()
+    best = (-1.0, None)
     for step in range(args.steps):
+        # fresh world per step — see train_cosplace.py for the measured
+        # single-world overfitting this avoids
+        world = make_world(int(rng.integers(2**31)), n=160)
         images, labels = make_batch(rng, world, args.places, args.views,
                                     args.jitter_t, args.jitter_yaw,
                                     args.crop_size)
@@ -160,13 +166,17 @@ def main():
         if step % 25 == 0 or step == args.steps - 1:
             print(f"step {step} loss {float(loss):.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
-        if step % 200 == 199 or step == args.steps - 1:
+        if step % 100 == 99 or step == args.steps - 1:
             rec = eval_recall(model, {"params": params},
                               crop_size=args.crop_size)
             print(f"  eval recall@1 (held-out world): {rec:.3f}",
                   flush=True)
+            if rec > best[0]:
+                best = (rec, jax.device_get(params))
+    if best[1] is not None:
+        params = best[1]
     save_variables({"params": params}, args.out)
-    print("saved", args.out, flush=True)
+    print(f"saved {args.out} (best recall@1 {best[0]:.3f})", flush=True)
 
     mean, comps = fit_pca(model, {"params": params}, args.pca_dim,
                           args.seed, args.crop_size)
