@@ -175,7 +175,7 @@ def make_params(robot_id, n_robots, budget=6, sim_threshold=0.93):
 
 
 def main(n_robots=3, n_poses=12, budget=6, place_model="auto",
-         sim_threshold=0.93):
+         sim_threshold=None):
     t0 = time.perf_counter()
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), "..", "tests"))
@@ -185,6 +185,11 @@ def main(n_robots=3, n_poses=12, budget=6, place_model="auto",
     router = InProcessRouter()
     clock = ManualClock()
     model, place_name = make_place_model(place_model)
+    if sim_threshold is None:
+        # per-model operating points (measured sweep on this mission:
+        # cosplace 0.75 -> 32 verified LCs / 4.07x ATE improvement vs
+        # 15 / 3.29x at the gridstats threshold 0.93)
+        sim_threshold = 0.75 if place_name.startswith("cosplace") else 0.93
     cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
                         gnc_max_outer_iters=6)
     nodes, handlers = {}, {}
@@ -281,7 +286,8 @@ if __name__ == "__main__":
     ap.add_argument("--budget", type=int, default=6)
     ap.add_argument("--place-model", default="auto",
                     choices=["auto", "cosplace", "gridstats"])
-    ap.add_argument("--sim-threshold", type=float, default=0.93)
+    ap.add_argument("--sim-threshold", type=float, default=None,
+                    help="default: 0.75 for cosplace, 0.93 for gridstats")
     args = ap.parse_args()
     main(n_robots=args.robots, n_poses=args.poses, budget=args.budget,
          place_model=args.place_model, sim_threshold=args.sim_threshold)
