@@ -64,6 +64,47 @@ def build_train_step(model, lr, steps, temperature=0.1):
     return tx, train_step
 
 
+def data_driven_init(model, params, rng, crop_size, alpha=8.0):
+    """NetVLAD's published initialization (Arandjelovic et al., sec 4 —
+    the reference's checkpoints inherit it from the Pittsburgh-trained
+    upstream): centroids are real (l2-normalized) backbone features and
+    the assignment conv is 2*alpha*centroids. With Flax default init the
+    assignment logits are ~0.04 -> softmax is uniform over 64 clusters,
+    the VLAD residual is dominated by the constant centroid term, and
+    supcon training sits at chance (measured: loss pinned at ln(15) for
+    250 steps, held-out recall@1 degrading 0.875 -> 0.479). Because the
+    assignment conv has no bias, centroids are sampled from the features
+    themselves (all unit-norm), which keeps the missing -alpha*||c||^2
+    bias term constant across clusters."""
+    import jax
+    import jax.numpy as jnp
+    from cslam_tpu.models.netvlad import VGG16Conv5
+
+    backbone = VGG16Conv5()
+    bb_params = {"VGG16Conv5_0": params["VGG16Conv5_0"]}
+    feats = []
+    for b in range(2):
+        world = make_world(int(rng.integers(2**31)), n=160)
+        batch, _ = make_batch(rng, world, 8, 2, 0.3, 0.05, crop_size)
+        f = jax.jit(lambda p, x: backbone.apply({"params": p}, x))(
+            bb_params["VGG16Conv5_0"], jnp.asarray(batch))
+        f = np.asarray(f, np.float32).reshape(-1, f.shape[-1])
+        feats.append(f)
+    X = np.concatenate(feats)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    vlad = params["NetVLADLayer_0"]
+    K = vlad["centroids"].shape[0]
+    pick = rng.choice(len(X), K, replace=False)
+    centroids = X[pick]                        # (K, C), unit rows
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    params["NetVLADLayer_0"] = dict(vlad)
+    params["NetVLADLayer_0"]["centroids"] = jnp.asarray(centroids)
+    params["NetVLADLayer_0"]["assign_conv"] = {
+        "kernel": jnp.asarray(
+            (2.0 * alpha * centroids.T)[None, None, :, :])}
+    return params
+
+
 def eval_recall(model, variables, seed=9999, n_places=24, crop_size=128,
                 displacement=0.35, yaw=0.06, n_worlds=3):
     import jax
@@ -145,6 +186,8 @@ def main():
                                 for k, x in data.items()})
         params = v["params"]
         print("warm-started from", args.init_from, flush=True)
+    else:
+        params = data_driven_init(model, params, rng, args.crop_size)
 
     r0 = eval_recall(model, {"params": params}, crop_size=args.crop_size)
     print(f"recall@1 before training: {r0:.3f}", flush=True)
