@@ -108,6 +108,12 @@ class NetVLAD:
         self.enabled = self.checkpoint not in ("", "disable", None)
         self.descriptor_dim = params.get("frontend.global_descriptor_dim",
                                          128)
+        # inference must run at the checkpoint's training resolution:
+        # the shipped weights are trained at 128 (train_netvlad.py) and
+        # lose ~0.08 held-out recall@1 when evaluated at 224
+        self.crop_size = params.get(
+            "frontend.image_crop_size",
+            128 if self.checkpoint.endswith("netvlad_synth.npz") else 224)
         self._rng = np.random.default_rng(rng_seed)
         self.model = NetVLADNet()
         self.pca_mean = None
@@ -146,7 +152,7 @@ class NetVLAD:
             return (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(
                 np.float32)
         from cslam_tpu.models.cosplace import preprocess
-        batch = preprocess(images)
+        batch = preprocess(images, self.crop_size)
         out = np.asarray(self._apply(self.variables, jnp.asarray(batch)))
         if self.pca_components is not None:
             out = (out - self.pca_mean) @ self.pca_components.T

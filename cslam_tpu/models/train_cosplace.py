@@ -210,7 +210,8 @@ def main():
     opt_state = tx.init(params)
 
     t0 = time.time()
-    best = (-1.0, None)
+    best = (r0, {"params": jax.device_get(params),
+                 "batch_stats": jax.device_get(batch_stats)})
     for step in range(args.steps):
         # a FRESH world every step: the contrastive labels only need to
         # hold within the batch, and a single persistent world overfits

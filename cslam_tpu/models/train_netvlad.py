@@ -196,7 +196,10 @@ def main():
     opt_state = tx.init(params)
 
     t0 = time.time()
-    best = (-1.0, None)
+    # the data-driven init is itself a candidate: VLAD over random VGG
+    # features is strong, and training can trade held-out recall for
+    # in-batch loss
+    best = (r0, jax.device_get(params))
     for step in range(args.steps):
         # fresh world per step — see train_cosplace.py for the measured
         # single-world overfitting this avoids

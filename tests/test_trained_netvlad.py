@@ -84,7 +84,8 @@ def test_pca_preserves_ranking(netvlad):
 
     rng = np.random.default_rng(777)
     world = make_world(888, n=160)
-    batch, labels = make_batch(rng, world, 12, 2, 0.3, 0.05, 224)
+    batch, labels = make_batch(rng, world, 12, 2, 0.3, 0.05,
+                               netvlad.crop_size)
     full = np.asarray(jax.jit(
         lambda v, x: netvlad.model.apply(v, x))(
             netvlad.variables, jnp.asarray(batch)))
