@@ -103,3 +103,40 @@ def test_loop_closure_detection_with_trained_descriptors(cosplace):
         db.add_item(e, (0, i))
     best, sim = db.search_best(embs[-1])
     assert best == (0, 0), f"revisit matched keyframe {best} (sim {sim})"
+
+
+@needs_cp
+def test_global_descriptor_component_config_path():
+    """The config-driven construction (no explicit model object) must
+    build CosPlace from frontend.* params, pick up the shipped weights,
+    and publish real CNN descriptors for incoming keyframes — the path
+    a YAML-configured deployment takes (config/example.yaml)."""
+    from cslam_tpu.comm import messages as msgs
+    from cslam_tpu.comm.bus import InProcessBus, InProcessRouter
+    from cslam_tpu.frontend.global_descriptor_component import \
+        GlobalDescriptorComponent
+    from cslam_tpu.models.train_cosplace import make_world, render_view
+
+    router = InProcessRouter()
+    bus = InProcessBus(router, 0)
+    got = []
+    router.subscribe("/r0/cslam/processed_global_descriptor", got.append)
+    gdc = GlobalDescriptorComponent(
+        {"robot_id": 0, "max_nb_robots": 1,
+         "frontend.global_descriptor_technique": "cosplace",
+         "frontend.nn_checkpoint": "shipped"}, bus, batch_size=2)
+    assert gdc.model.enabled, "config path did not load shipped weights"
+
+    world = make_world(99, n=160)
+    rng = np.random.default_rng(0)
+    for kid, xy in enumerate([(-1.0, 0.0), (1.5, 1.0)]):
+        im = render_view(world, xy, rng)
+        bus.publish("cslam/keyframe_data",
+                    msgs.KeyframeRGB.from_image(kid, im))
+    router.spin_until_idle()
+    assert len(got) == 2
+    d0, d1 = (np.asarray(m.descriptor) for m in got)
+    assert d0.shape == (gdc.model.fc_output_dim,)
+    np.testing.assert_allclose(np.linalg.norm(d0), 1.0, atol=1e-4)
+    # different places must not collapse to the same descriptor
+    assert float(d0 @ d1) < 0.99
