@@ -1,0 +1,241 @@
+#!/usr/bin/env python
+"""Lidar multi-robot mission: every loop closure earned from point
+clouds.
+
+The lidar counterpart of visual_mission_bench.py — robots observe a
+shared structured 3D world through range-limited scans, Scan Context
+embeddings drive place recognition, candidate matches are verified by
+multi-hypothesis GNC-ICP registration (Scan Context yaw seed + FPFH
+RANSAC seed), and decentralized GNC-LM PGO corrects drifted odometry.
+This is SURVEY §3.4's pipeline (reference cslam/lidar_handler_node.py +
+lidar_pr/scancontext.py + icp_utils.py) end to end.
+
+    python benchmarks/lidar_mission_bench.py [--robots 3] [--poses 12]
+
+Writes benchmarks/LIDAR_MISSION.json and prints a summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms",
+                  os.environ.get("CSLAM_EVAL_PLATFORM", "cpu"))
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache", os.environ.get("CSLAM_EVAL_PLATFORM", "cpu")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from cslam_tpu.backend import pgo  # noqa: E402
+from cslam_tpu.comm.bus import (InProcessBus, InProcessRouter,  # noqa: E402
+                                ManualClock)
+from cslam_tpu.frontend.lidar_handler import (LidarHandler,  # noqa: E402
+                                              ScanContextModel)
+from cslam_tpu.node import SwarmNode  # noqa: E402
+from cslam_tpu.ops import se3  # noqa: E402
+from cslam_tpu.utils.evaluation import ate_rmse  # noqa: E402
+
+
+class LidarWorld:
+    """Structured 3D world: clustered 'buildings' (box-ish point blobs)
+    on a ground disk, distinct enough that Scan Context signatures vary
+    across positions. Robots see points within `sensor_range` of their
+    position, expressed in the sensor frame."""
+
+    def __init__(self, n_clusters=28, seed=0, extent=14.0,
+                 sensor_range=10.0):
+        rng = np.random.default_rng(seed)
+        pts = []
+        for _ in range(n_clusters):
+            c = np.array([rng.uniform(-extent, extent),
+                          rng.uniform(-extent / 2, extent / 2), 0.0])
+            size = rng.uniform(0.4, 1.6, 3)
+            size[2] = rng.uniform(0.8, 3.0)           # height
+            n = int(rng.integers(60, 140))
+            # points on the box surface-ish: uniform in the box, pushed
+            # to a random face for structure
+            p = rng.uniform(-1, 1, (n, 3)) * size
+            face = rng.integers(0, 3, n)
+            sign = np.where(rng.random(n) < 0.5, -1.0, 1.0)
+            p[np.arange(n), face] = sign * size[face]
+            p[:, 2] = np.abs(p[:, 2])                  # above ground
+            pts.append(c + p)
+        self.points = np.concatenate(pts).astype(np.float32)
+        self.sensor_range = sensor_range
+
+    def scan(self, pose, rng, noise=0.02):
+        """Range-limited observation in the sensor frame at `pose`."""
+        R, t = pose
+        d = np.linalg.norm(self.points[:, :2] - t[None, :2], axis=1)
+        vis = self.points[d < self.sensor_range]
+        local = (vis - t) @ R
+        return (local + rng.standard_normal(local.shape).astype(np.float32)
+                * noise).astype(np.float32)
+
+
+def make_pose(x, y=0.0, yaw=0.0):
+    import jax.numpy as jnp
+    R = np.asarray(se3.so3_exp(jnp.asarray([0, 0, yaw], jnp.float32)))
+    return R.astype(np.float32), np.array([x, y, 0], np.float32)
+
+
+def trajectories(n_robots, n_poses, seed=1, drift=0.02):
+    """Overlapping out-and-back loops + drifted odometry (same scheme as
+    the visual mission)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    true, odom = [], []
+    for rid in range(n_robots):
+        x0 = -4.0 + 4.0 * rid
+        xs = np.concatenate([
+            np.linspace(x0, x0 + 7.0, n_poses // 2),
+            np.linspace(x0 + 7.0, x0 + 0.3, n_poses - n_poses // 2)])
+        ys = 1.0 * np.sin(np.linspace(0, 2 * np.pi, n_poses) + rid)
+        yaws = 0.15 * np.sin(np.linspace(0, 2 * np.pi, n_poses) + 2 * rid)
+        poses = [make_pose(x, y, w) for x, y, w in zip(xs, ys, yaws)]
+        true.append(poses)
+        oR, ot = [poses[0][0]], [poses[0][1]]
+        for k in range(1, n_poses):
+            Rm = poses[k - 1][0].T @ poses[k][0]
+            tm = poses[k - 1][0].T @ (poses[k][1] - poses[k - 1][1])
+            xi = rng.standard_normal(6).astype(np.float32) * drift
+            dR, dt = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(xi)))
+            Rm, tm = Rm @ dR, tm + Rm @ dt
+            oR.append(oR[-1] @ Rm)
+            ot.append(ot[-1] + oR[-2] @ tm)
+        odom.append((oR, ot))
+    return true, odom
+
+
+def make_params(robot_id, n_robots, budget=6, sim_threshold=0.75):
+    return {
+        "robot_id": robot_id,
+        "max_nb_robots": n_robots,
+        "frontend.sensor_type": "lidar",
+        "frontend.global_descriptor_technique": "scancontext",
+        "frontend.kf_distance_threshold": 0.5,
+        "frontend.voxel_size": 0.3,
+        "frontend.similarity_threshold": sim_threshold,
+        "frontend.inter_robot_loop_closure_budget": budget,
+        "frontend.nb_best_matches": 8,
+        "frontend.intra_loop_min_inbetween_keyframes": 5,
+        "frontend.detection_publication_max_elems_per_msg": 8,
+        "frontend.enable_intra_robot_loop_closures": True,
+        "frontend.enable_sparsification": True,
+        "frontend.use_vertex_cover_selection": True,
+        "backend.max_waiting_time_sec": 60.0,
+        "neighbor_management.enable_neighbor_monitoring": False,
+        "neighbor_management.init_delay_sec": 0.0,
+        "neighbor_management.max_heartbeat_delay_sec": 5.0,
+        "evaluation.enable_logs": False,
+        "evaluation.enable_simulated_rendezvous": False,
+        "evaluation.rendezvous_schedule_file": "",
+        "evaluation.enable_sparsification_comparison": False,
+    }
+
+
+def main(n_robots=3, n_poses=12, budget=6, sim_threshold=0.75):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "..", "tests"))
+    from test_e2e_swarm import run_optimization
+
+    world = LidarWorld()
+    router = InProcessRouter()
+    clock = ManualClock()
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
+                        gnc_max_outer_iters=6)
+    nodes, handlers = {}, {}
+    for rid in range(n_robots):
+        bus = InProcessBus(router, rid)
+        params = make_params(rid, n_robots, budget, sim_threshold)
+        handlers[rid] = LidarHandler(params, bus, clock)
+        nodes[rid] = SwarmNode(params, bus, clock,
+                               descriptor_model=ScanContextModel(),
+                               pgo_config=cfg)
+    true, odom = trajectories(n_robots, n_poses)
+    t_setup = time.perf_counter()
+
+    rng = np.random.default_rng(3)
+    n_kf = 0
+    kf_to_pose = {rid: {} for rid in range(n_robots)}
+    for kf in range(n_poses):
+        for rid in range(n_robots):
+            scan = world.scan(true[rid][kf], rng)
+            handlers[rid].add_sensor_data(
+                scan, (odom[rid][0][kf], odom[rid][1][kf]))
+            kf_id = handlers[rid].process_new_sensor_data()
+            if kf_id is not None:
+                kf_to_pose[rid][kf_id] = kf
+                n_kf += 1
+        router.spin_until_idle(max_rounds=2000)
+    for _ in range(4):
+        for node in nodes.values():
+            node.tick_detection_publication()
+        router.spin_until_idle(max_rounds=2000)
+        for node in nodes.values():
+            node.tick_inter_robot_detection()
+        router.spin_until_idle(max_rounds=2000)
+    t_pipeline = time.perf_counter()
+
+    run_optimization(router, nodes, rounds=20)
+    t_opt = time.perf_counter()
+
+    n_intra = sum(sum(1 for f in n.backend.local_factors if f.is_loop)
+                  for n in nodes.values())
+    n_inter = sum(len(lcs)
+                  for n in nodes.values()
+                  for lcs in n.backend.inter_robot_loop_closures.values()
+                  ) // n_robots
+    ates_raw, ates_opt = [], []
+    for rid in range(n_robots):
+        gt_t = np.stack([p[1] for p in true[rid]])
+        est = nodes[rid].backend.current_pose_estimates
+        own = [k for k in sorted(est) if k[0] == rid
+               and k[1] in kf_to_pose[rid]]
+        if len(own) < 3:
+            continue
+        pose_idx = [kf_to_pose[rid][k[1]] for k in own]
+        est_t = np.stack([est[k][1] for k in own])
+        ates_opt.append(ate_rmse(est_t, gt_t[pose_idx]))
+        ates_raw.append(ate_rmse(
+            np.stack([odom[rid][1][i] for i in pose_idx]), gt_t[pose_idx]))
+
+    results = {
+        "platform": jax.devices()[0].platform,
+        "front_end": "lidar (Scan Context place recognition + "
+                     "GNC-ICP/FPFH verification)",
+        "n_robots": n_robots,
+        "n_keyframes": n_kf,
+        "verified_loop_closures": n_intra + n_inter,
+        "pipeline_wall_s": t_pipeline - t_setup,
+        "optimization_wall_s": t_opt - t_pipeline,
+        "n_robots_evaluated": len(ates_opt),
+        "ate_rmse_odometry": float(np.mean(ates_raw)) if ates_raw else None,
+        "ate_rmse_optimized": float(np.mean(ates_opt)) if ates_opt else None,
+        "ate_improvement": float(np.mean(ates_raw) / np.mean(ates_opt))
+        if ates_opt else None,
+    }
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "LIDAR_MISSION.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--robots", type=int, default=3)
+    ap.add_argument("--poses", type=int, default=12)
+    ap.add_argument("--budget", type=int, default=6)
+    ap.add_argument("--sim-threshold", type=float, default=0.75)
+    args = ap.parse_args()
+    main(n_robots=args.robots, n_poses=args.poses, budget=args.budget,
+         sim_threshold=args.sim_threshold)

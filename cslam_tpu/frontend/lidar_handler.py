@@ -197,16 +197,27 @@ class LidarHandler:
             if kid not in self.local_keyframes:
                 continue
             result = self._register(msg.points, self.local_keyframes[kid])
+            # _register(src=sender, dst=mine) estimates T mapping sender
+            # points into MY frame: T = X_mine^-1 X_sender. The wire
+            # convention is pose = X_robot0^-1 X_robot1 with
+            # robot0 < robot1 (same derivation as rgbd_handler
+            # receive_local_image_descriptors).
+            R = np.asarray(result.R)
+            t = np.asarray(result.t)
             if msg.robot_id < self.robot_id:
+                # robot0 = sender: need X_sender^-1 X_mine = T^-1
+                pose = (R.T, (-R.T @ t).astype(np.float32))
                 r0, k0, r1, k1 = msg.robot_id, msg.keyframe_id, rid, kid
             else:
+                # robot0 = me: need X_mine^-1 X_sender = T
+                pose = (R, t)
                 r0, k0, r1, k1 = rid, kid, msg.robot_id, msg.keyframe_id
             self.inter_lc_publisher.publish(
                 msgs.InterRobotLoopClosure(
                     robot0_id=r0, robot0_keyframe_id=k0,
                     robot1_id=r1, robot1_keyframe_id=k1,
                     success=bool(result.success),
-                    pose=(np.asarray(result.R), np.asarray(result.t)),
+                    pose=pose,
                     covariance_diag=np.asarray(result.cov_diag,
                                                dtype=np.float32)))
 
@@ -217,10 +228,15 @@ class LidarHandler:
             return
         result = self._register(self.local_keyframes[k0],
                                 self.local_keyframes[k1])
+        # _register(src=k0, dst=k1) estimates T = X_1^-1 X_0; the
+        # between measurement is X_0^-1 X_1 = T^-1 (matches
+        # rgbd_handler.receive_local_keyframe_match)
+        R = np.asarray(result.R)
+        t = np.asarray(result.t)
         self.intra_lc_publisher.publish(
             msgs.IntraRobotLoopClosure(
                 keyframe0_id=k0, keyframe1_id=k1,
                 success=bool(result.success),
-                pose=(np.asarray(result.R), np.asarray(result.t)),
+                pose=(R.T, (-R.T @ t).astype(np.float32)),
                 covariance_diag=np.asarray(result.cov_diag,
                                            dtype=np.float32)))

@@ -79,16 +79,15 @@ def test_intra_lidar_loop_closure_verification():
     assert len(results) == 1
     lc = results[0]
     assert lc.success
-    # registration maps kf0 points into kf1's frame: T = X1^-1 X0.
-    # The published measurement convention in the swarm is between(kf0,kf1);
-    # verify the recovered transform matches the ground-truth relative pose
-    # in either direction (the handler publishes the registration result).
+    # the published measurement MUST be between(kf0, kf1) = X_0^-1 X_1
+    # (the backend convention) — direction matters: an inverted loop
+    # closure actively corrupts the optimum (the original either-
+    # direction tolerance here masked exactly that bug, caught by
+    # benchmarks/lidar_mission_bench.py degrading ATE 0.77x)
     R_rel = pose0[0].T @ pose1[0]
     t_rel = pose0[0].T @ (pose1[1] - pose0[1])
-    R_inv, t_inv = R_rel.T, -R_rel.T @ t_rel
-    err_fwd = np.linalg.norm(lc.pose[1] - t_rel)
-    err_inv = np.linalg.norm(lc.pose[1] - t_inv)
-    assert min(err_fwd, err_inv) < 0.2, (lc.pose[1], t_rel, t_inv)
+    np.testing.assert_allclose(lc.pose[0], R_rel, atol=0.08)
+    assert np.linalg.norm(lc.pose[1] - t_rel) < 0.2, (lc.pose[1], t_rel)
 
 
 def test_inter_robot_lidar_pipeline():
@@ -117,6 +116,11 @@ def test_inter_robot_lidar_pipeline():
     lc = results[0]
     assert (lc.robot0_id, lc.robot1_id) == (0, 1)
     assert lc.success
+    # wire convention: pose = X_robot0^-1 X_robot1, direction checked
+    R_rel = pose0[0].T @ pose1[0]
+    t_rel = pose0[0].T @ (pose1[1] - pose0[1])
+    np.testing.assert_allclose(lc.pose[0], R_rel, atol=0.08)
+    assert np.linalg.norm(lc.pose[1] - t_rel) < 0.2, (lc.pose[1], t_rel)
 
 
 def test_unknown_keyframe_request_ignored():
