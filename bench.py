@@ -464,7 +464,15 @@ def bench_hot_loops():
         return jnp.stack([jnp.sum(d), jnp.sum(yaw.astype(jnp.float32))])
 
     try:
-        dt = _slope_generic(sc_step, make_query, consts=(cands,))
+        # The scan-context program is only a few microseconds, so the
+        # default chain delta (64 calls) stays under the relay's multi-ms
+        # jitter and can produce a NEGATIVE slope (observed -3 us in r2).
+        # 3072 calls of delta puts even a 5 us kernel ~15 ms apart.
+        dt = _slope_generic(sc_step, make_query, consts=(cands,),
+                            k1=1024, k2=4096)
+        if dt <= 0:
+            raise RuntimeError(f"non-positive slope {dt*1e3:.4f} ms "
+                               "(chain delta below relay jitter)")
         out["scancontext_query_vs_256_ms"] = dt * 1e3
         _log(f"scancontext: {dt*1e3:.3f} ms/query vs {NC} candidates "
              f"(60 shifts)")
