@@ -29,6 +29,27 @@ version lost to plain XLA top_k by 20%):
 Requirements: D and the row-tile size aligned to lanes (pad the
 descriptor dim to a multiple of 128); queries pre-normalized or
 normalized here; N_cap a multiple of the tile.
+
+Merge-restructure attempts that LOST on real v5e (r2, 131072x512 B=256;
+keep for the record before trying "obvious" improvements again). The
+matmul+rowmax floor is 0.20 ms bf16 / 0.36 ms f32 (measured
+matmul-only), this kernel runs 0.55-0.59 ms, so the merge costs
+~0.2-0.35 ms — but:
+- segment-granular gating (gate + while-loop per 128/256/512-row slice
+  instead of per tile, to scan fewer bytes per trip): 1.0-1.6 ms, 2-3x
+  WORSE. Per-gate scalar branching and narrow-slice reductions dwarf
+  the saved bytes.
+- two-level group-summary merge (lane-strided per-group max/argmax
+  summary built in the fma pass; serve 2-8 candidates per trip from the
+  (B, 256) summary; fused knockout+rebuild pass): 0.75-1.5 ms, worse,
+  and degrades as serve grows — (B, G) small-pass extraction overhead
+  exceeds the full-tile passes it replaces.
+- row-major vs column-major database layout for the tile matmul:
+  identical (Mosaic handles the contraction either way).
+With a 256-query batch every tile contains some query's next top-k
+candidate (P ~ 1-(1-k/t)^B), so merge work is irreducible at roughly
+one update per query per tile; the simple full-tile argmax trip is the
+cheapest per-update structure of the four designs measured.
 """
 
 import functools
@@ -43,18 +64,7 @@ NEG_LARGE = -3.0e38  # finite "-inf": avoids 0 * inf = NaN in the fma
 
 def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
                 val_out_ref, best_vals, best_idx, sims_ref, *, tile_rows, k,
-                num_tiles, seg_rows=None):
-    if seg_rows is None:
-        # Tile-granular merging is the measured optimum: seg_rows <
-        # tile_rows looked attractive (scan 8x fewer bytes per trip) but
-        # measured 2-3x SLOWER on v5e (0.58 -> 1.0-1.6 ms at
-        # seg=128..512) — per-gate scalar branching and narrow-slice
-        # reductions cost more than the saved bytes. Kept as a parameter
-        # for the record; see _knn_kernel_two_level for the approach
-        # that actually beats this one.
-        seg_rows = tile_rows
-    num_segs = tile_rows // seg_rows
-    assert tile_rows % seg_rows == 0, (tile_rows, seg_rows)
+                num_tiles):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -75,59 +85,45 @@ def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
         queries_ref[:], data_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    sims_ref[:] = sims * inv_ref[:] + bias_ref[:]  # inv/bias: (1, T)
+    sims = sims * inv_ref[:] + bias_ref[:]  # inv/bias: (1, T)
 
-    # Per-SEGMENT row maxes in one pass over the tile. The merge below
-    # then touches only (B, seg_rows)-wide slices: with a large query
-    # batch nearly every 2048-row tile contains SOME query's next top-k
-    # candidate (P ~ 1 - (1 - k/t)^B), so a tile-granular gate never
-    # skips and every merge trip paid full-tile VPU passes — measured
-    # 0.35 ms of a 0.55 ms bf16 call (matmul+rowmax floor: 0.20 ms).
-    # Segment granularity keeps the matmul big (MXU) while the selection
-    # scans ~8x fewer bytes per trip.
-    seg_maxes = [
-        jnp.max(sims_ref[:, s * seg_rows:(s + 1) * seg_rows], axis=1)
-        for s in range(num_segs)]
-
+    rm0 = jnp.max(sims, axis=1)                        # (B,)
     cmin0 = jnp.min(best_vals[:], axis=1)              # (B,)
+    any_better = jnp.any(rm0 > cmin0)
 
-    for s in range(num_segs):  # static unroll: num_segs is small
-        rm_s = seg_maxes[s]
-        # Gate per segment; cmin0 is a snapshot — merges in earlier
-        # segments only RAISE the true k-th best, so a stale (lower)
-        # cmin can only admit extra no-op trips, never skip a needed
-        # one: inside the loop `better` re-reads the live best_vals.
-        @pl.when(jnp.any(rm_s > cmin0))
-        def _(s=s, rm_s=rm_s):
-            lo = s * seg_rows
+    # Tiles with no candidate beating any query's current k-th best (the
+    # overwhelming majority once the stream is warm) skip the merge
+    # entirely. Inside, the while_loop carries only (B,)-sized values —
+    # the tile similarities live in a VMEM scratch ref; a big (B, T)
+    # loop carry measured ~2x slower. Each trip consumes the tile argmax
+    # of every still-improvable query, so <= k trips.
+    @pl.when(any_better)
+    def _():
+        sims_ref[:] = sims
 
-            def cond(carry):
-                rm, cmin, trips = carry
-                return jnp.any(rm > cmin) & (trips < k)
+        def cond(carry):
+            rm, cmin, trips = carry
+            return jnp.any(rm > cmin) & (trips < k)
 
-            def body(carry):
-                rm, cmin, trips = carry
-                seg = sims_ref[:, lo:lo + seg_rows]
-                am = jnp.argmax(seg, axis=1)
-                better = rm > cmin
-                cam = jnp.argmin(best_vals[:], axis=1)
-                slot = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape,
-                                                1)
-                hit = (slot == cam[:, None]) & better[:, None]
-                best_vals[:] = jnp.where(hit, rm[:, None], best_vals[:])
-                best_idx[:] = jnp.where(
-                    hit, (am + (row0 + lo))[:, None].astype(jnp.int32),
-                    best_idx[:])
-                # knock the taken element out of the segment
-                col = jax.lax.broadcasted_iota(jnp.int32, seg.shape, 1)
-                seg = jnp.where(col == am[:, None], NEG_LARGE, seg)
-                sims_ref[:, lo:lo + seg_rows] = seg
-                return (jnp.max(seg, axis=1),
-                        jnp.min(best_vals[:], axis=1), trips + 1)
+        def body(carry):
+            rm, cmin, trips = carry
+            s = sims_ref[:]
+            am = jnp.argmax(s, axis=1)
+            better = rm > cmin
+            cam = jnp.argmin(best_vals[:], axis=1)
+            slot = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape, 1)
+            hit = (slot == cam[:, None]) & better[:, None]
+            best_vals[:] = jnp.where(hit, rm[:, None], best_vals[:])
+            best_idx[:] = jnp.where(
+                hit, (am + row0)[:, None].astype(jnp.int32), best_idx[:])
+            # knock the taken element out of the tile
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col == am[:, None], NEG_LARGE, s)
+            sims_ref[:] = s
+            return (jnp.max(s, axis=1), jnp.min(best_vals[:], axis=1),
+                    trips + 1)
 
-            jax.lax.while_loop(
-                cond, body,
-                (rm_s, jnp.min(best_vals[:], axis=1), jnp.int32(0)))
+        jax.lax.while_loop(cond, body, (rm0, cmin0, jnp.int32(0)))
 
     @pl.when(i == num_tiles - 1)
     def _():
@@ -158,177 +154,9 @@ def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
         idx_out_ref[:] = out_i
 
 
-def _sort_winners(best_vals, best_idx, val_out_ref, idx_out_ref, k):
-    """Write the (B, k) running winners to the outputs, sorted
-    descending (k is tiny: unrolled selection sort, gather-free)."""
-    vals = best_vals[:]
-    idxs = best_idx[:]
-
-    def select(j, carry):
-        vals, idxs, out_v, out_i = carry
-        m = jnp.max(vals, axis=1, keepdims=True)
-        am = jnp.argmax(vals, axis=1)
-        col = jax.lax.broadcasted_iota(jnp.int32, vals.shape, 1)
-        winner = col == am[:, None]
-        taken_idx = jnp.sum(jnp.where(winner, idxs, 0), axis=1,
-                            keepdims=True)
-        out_slot = col == j
-        out_v = jnp.where(out_slot, m, out_v)
-        out_i = jnp.where(out_slot, taken_idx, out_i)
-        vals = jnp.where(winner, NEG_LARGE, vals)
-        return vals, idxs, out_v, out_i
-
-    init = (vals, idxs, jnp.zeros_like(vals), jnp.zeros_like(idxs))
-    _, _, out_v, out_i = jax.lax.fori_loop(0, k, select, init, unroll=True)
-    val_out_ref[:] = out_v
-    idx_out_ref[:] = out_i
-
-
-def _knn_kernel_two_level(data_ref, inv_ref, bias_ref, queries_ref,
-                          idx_out_ref, val_out_ref, best_vals, best_idx,
-                          sims_ref, gmax_ref, warg_ref, *, tile_rows, k,
-                          num_tiles, lanes=None, serve=4):
-    """Two-level streaming top-k merge (the fast exact kernel).
-
-    The tile-granular kernel's merge cost is 3 full (B, T) VPU passes
-    per trip, one candidate consumed per trip — with a 256-query batch
-    every tile triggers it, and it dominates the call (0.35 ms of
-    0.55 ms bf16; matmul floor 0.20 ms). This kernel restructures the
-    merge around a (B, G) GROUP-MAX summary (G = lane count, groups are
-    lane-strided so group reductions are J elementwise slice ops, never
-    a reshape):
-
-    - build: the fma pass that masks/normalizes the tile also builds
-      gmax (per-group max) and warg (which of the J strided slices holds
-      it) — the summary costs no extra traversal.
-    - trip: extract the top-`serve` groups per query from (B, G) (small
-      passes), insert them into the (B, k) winners sequentially
-      (descending, so one argmin replacement each), then ONE fused
-      (B, T) pass knocks all taken elements out AND rebuilds gmax/warg.
-      A trip consumes up to `serve` candidates per query for ~1 full
-      pass instead of 3 per candidate.
-
-    Exactness: all candidates flow through group maxes; a knocked-out
-    group rebuilds to its next-best member, so a group holding several
-    of a query's true top-k yields them across trips. Non-inserted
-    extractions (value <= current k-th best) are dead by monotonicity —
-    the k-th best only rises — so knocking them out too is safe. The
-    <= k trip bound holds: any improvable query consumes >= 1 candidate
-    per trip.
-    """
-    if lanes is None:
-        lanes = min(256, tile_rows)
-    G = lanes
-    J = tile_rows // G
-    assert tile_rows % G == 0, (tile_rows, G)
-    serve = min(serve, k)
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _():
-        best_vals[:] = jnp.full_like(best_vals, NEG_LARGE)
-        best_idx[:] = jnp.zeros_like(best_idx)
-
-    row0 = i * tile_rows
-    sims = jax.lax.dot_general(
-        queries_ref[:], data_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    # fused fma + scratch write + group-summary build. Group g holds the
-    # lane-strided columns {g, G+g, ..., (J-1)G+g}: slice j is
-    # sims[:, jG:(j+1)G], so the "reduction over the group" is J
-    # elementwise maxes of lane-aligned slices.
-    gm = None
-    wa = None
-    for j in range(J):
-        lo = j * G
-        s_j = (sims[:, lo:lo + G] * inv_ref[:, lo:lo + G]
-               + bias_ref[:, lo:lo + G])
-        sims_ref[:, lo:lo + G] = s_j
-        if gm is None:
-            gm = s_j
-            wa = jnp.zeros(s_j.shape, jnp.int32)
-        else:
-            upd = s_j > gm
-            gm = jnp.where(upd, s_j, gm)
-            wa = jnp.where(upd, j, wa)
-    gmax_ref[:] = gm
-    warg_ref[:] = wa
-
-    rm0 = jnp.max(gm, axis=1)                          # (B,)
-    cmin0 = jnp.min(best_vals[:], axis=1)              # (B,)
-
-    @pl.when(jnp.any(rm0 > cmin0))
-    def _():
-        def cond(carry):
-            rm, cmin, trips = carry
-            return jnp.any(rm > cmin) & (trips < k)
-
-        def body(carry):
-            rm, cmin, trips = carry
-            g = gmax_ref[:]
-            lane = jax.lax.broadcasted_iota(jnp.int32, g.shape, 1)
-            slot = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape, 1)
-
-            # extract the top-`serve` group maxes per query (descending
-            # by construction) and insert each into the winners
-            taken_cols = []
-            for c in range(serve):
-                mv = jnp.max(g, axis=1)                # (B,)
-                am = jnp.argmax(g, axis=1)             # (B,)
-                hitl = lane == am[:, None]
-                g = jnp.where(hitl, NEG_LARGE, g)
-                # which strided slice holds this group's max
-                wj = jnp.sum(jnp.where(hitl, warg_ref[:], 0), axis=1)
-                better = mv > cmin
-                cam = jnp.argmin(best_vals[:], axis=1)
-                hit = (slot == cam[:, None]) & better[:, None]
-                tcol = wj * G + am                     # flat tile column
-                best_vals[:] = jnp.where(hit, mv[:, None], best_vals[:])
-                best_idx[:] = jnp.where(
-                    hit, (tcol + row0)[:, None].astype(jnp.int32),
-                    best_idx[:])
-                cmin = jnp.min(best_vals[:], axis=1)
-                taken_cols.append(tcol[:, None])       # (B, 1)
-
-            # ONE fused pass: knock every taken element out of the tile
-            # and rebuild the group summary. Dead test = one compare per
-            # candidate against the flat column index.
-            gm = None
-            wa = None
-            for j in range(J):
-                lo = j * G
-                s_j = sims_ref[:, lo:lo + G]
-                col_flat = lane + lo
-                dead = col_flat == taken_cols[0]
-                for c in range(1, serve):
-                    dead = dead | (col_flat == taken_cols[c])
-                s_j = jnp.where(dead, NEG_LARGE, s_j)
-                sims_ref[:, lo:lo + G] = s_j
-                if gm is None:
-                    gm = s_j
-                    wa = jnp.zeros(s_j.shape, jnp.int32)
-                else:
-                    upd = s_j > gm
-                    gm = jnp.where(upd, s_j, gm)
-                    wa = jnp.where(upd, j, wa)
-            gmax_ref[:] = gm
-            warg_ref[:] = wa
-            return jnp.max(gm, axis=1), cmin, trips + 1
-
-        jax.lax.while_loop(cond, body, (rm0, cmin0, jnp.int32(0)))
-
-    @pl.when(i == num_tiles - 1)
-    def _():
-        _sort_winners(best_vals, best_idx, val_out_ref, idx_out_ref, k)
-
-
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows", "seg_rows",
-                                             "algo", "serve"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
 def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
-                       data_norms=None, seg_rows=None, algo="tile",
-                       serve=4):
+                       data_norms=None):
     """Fused streaming top-k cosine search.
 
     Args:
@@ -373,22 +201,8 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
     # match the database dtype so the MXU runs its native mixed path
     queries_n = queries_n.astype(data.dtype)
 
-    scratch = [
-        pltpu.VMEM((B, k), jnp.float32),
-        pltpu.VMEM((B, k), jnp.int32),
-        pltpu.VMEM((B, tile_rows), jnp.float32),
-    ]
-    if algo == "two_level":
-        G = min(256, tile_rows)
-        kernel = functools.partial(_knn_kernel_two_level,
-                                   tile_rows=tile_rows, k=k,
-                                   num_tiles=num_tiles, lanes=G,
-                                   serve=serve)
-        scratch += [pltpu.VMEM((B, G), jnp.float32),
-                    pltpu.VMEM((B, G), jnp.int32)]
-    else:
-        kernel = functools.partial(_knn_kernel, tile_rows=tile_rows, k=k,
-                                   num_tiles=num_tiles, seg_rows=seg_rows)
+    kernel = functools.partial(_knn_kernel, tile_rows=tile_rows, k=k,
+                               num_tiles=num_tiles)
     idx, vals = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -412,6 +226,10 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
             jax.ShapeDtypeStruct((B, k), jnp.int32),
             jax.ShapeDtypeStruct((B, k), jnp.float32),
         ),
-        scratch_shapes=scratch,
+        scratch_shapes=[
+            pltpu.VMEM((B, k), jnp.float32),
+            pltpu.VMEM((B, k), jnp.int32),
+            pltpu.VMEM((B, tile_rows), jnp.float32),
+        ],
     )(data, inv_row, bias_row, queries_n)
     return idx, vals

@@ -8,8 +8,7 @@ import pytest
 from cslam_tpu.ops import knn
 
 
-def _pallas_interpret(data, n_valid, queries, k, tile_rows, seg_rows=None,
-                      algo="tile", serve=4):
+def _pallas_interpret(data, n_valid, queries, k, tile_rows):
     """Run the kernel in interpreter mode (no TPU on CI)."""
     from jax.experimental import pallas as pl
     from cslam_tpu.ops import knn_pallas
@@ -28,19 +27,8 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows, seg_rows=None,
         jnp.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     queries_n = queries_n.astype(data.dtype)  # native-dtype MXU path
     from jax.experimental.pallas import tpu as pltpu
-    scratch_extra = []
-    if algo == "two_level":
-        G = min(256, tile_rows)
-        kernel = functools.partial(knn_pallas._knn_kernel_two_level,
-                                   tile_rows=tile_rows, k=k,
-                                   num_tiles=num_tiles, lanes=G,
-                                   serve=serve)
-        scratch_extra = [pltpu.VMEM((B, G), jnp.float32),
-                         pltpu.VMEM((B, G), jnp.int32)]
-    else:
-        kernel = functools.partial(knn_pallas._knn_kernel,
-                                   tile_rows=tile_rows, k=k,
-                                   num_tiles=num_tiles, seg_rows=seg_rows)
+    kernel = functools.partial(knn_pallas._knn_kernel, tile_rows=tile_rows,
+                               k=k, num_tiles=num_tiles)
     idx, vals = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -62,7 +50,7 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows, seg_rows=None,
             pltpu.VMEM((B, k), jnp.float32),
             pltpu.VMEM((B, k), jnp.int32),
             pltpu.VMEM((B, tile_rows), jnp.float32),
-        ] + scratch_extra,
+        ],
         interpret=True,
     )(data, inv_row, bias_row, queries_n)
     return idx, vals
@@ -101,84 +89,6 @@ def test_pallas_knn_multiple_tiles():
     # each query's best match is its own source row
     np.testing.assert_array_equal(np.asarray(idx)[:, 0], [3, 77, 500, 1000])
     assert np.all(np.asarray(sims)[:, 0] > 0.99)
-
-
-@pytest.mark.parametrize("n_valid,seg_rows", [(1024, 64), (1000, 64),
-                                              (1024, 128), (555, 256)])
-def test_pallas_knn_segmented_merge_exact(n_valid, seg_rows):
-    """The segmented merge (seg_rows < tile_rows) is exact: top-k sims
-    identical to the XLA reference, including when clusters concentrate
-    many of one query's top-k inside a single segment and when the
-    n_valid boundary falls mid-segment."""
-    rng = np.random.default_rng(7)
-    N, D, B, k = 1024, 128, 8, 10
-    data = rng.standard_normal((N, D)).astype(np.float32)
-    # plant a tight cluster so one segment holds many of query 0's top-k
-    data[300:330] = data[300] + 0.01 * rng.standard_normal((30, D))
-    queries = rng.standard_normal((B, D)).astype(np.float32)
-    queries[0] = data[305] + 0.001 * rng.standard_normal(D)
-    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), n_valid,
-                                        jnp.asarray(queries), k)
-    idx, sims = _pallas_interpret(jnp.asarray(data), n_valid,
-                                  jnp.asarray(queries), k, tile_rows=512,
-                                  seg_rows=seg_rows)
-    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
-                               atol=1e-5)
-    # the cluster queries' winners must be found despite >k candidates
-    # landing in one segment
-    assert int(idx[0, 0]) == int(ref_idx[0, 0])
-
-
-@pytest.mark.parametrize("n_valid,serve", [(1024, 1), (1024, 4), (777, 4),
-                                           (1024, 10), (1, 4)])
-def test_pallas_knn_two_level_exact(n_valid, serve):
-    """The two-level (group-summary) kernel is exact vs the XLA
-    reference, including when several of one query's top-k live in the
-    SAME lane-strided group (forcing multi-trip group re-takes)."""
-    rng = np.random.default_rng(11)
-    N, D, B, k = 1024, 128, 8, 10
-    tile_rows = 1024  # G=256, J=4: group g = rows {g, 256+g, 512+g, ...}
-    data = rng.standard_normal((N, D)).astype(np.float32)
-    # plant query 0's entire top-k inside ONE group (rows g, 256+g, ...)
-    g0 = 37
-    base = rng.standard_normal(D).astype(np.float32)
-    for m, row in enumerate([g0, 256 + g0, 512 + g0, 768 + g0]):
-        data[row] = base + 0.01 * (m + 1) * rng.standard_normal(D)
-    queries = rng.standard_normal((B, D)).astype(np.float32)
-    queries[0] = base
-    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), n_valid,
-                                        jnp.asarray(queries), k)
-    idx, sims = _pallas_interpret(jnp.asarray(data), n_valid,
-                                  jnp.asarray(queries), k,
-                                  tile_rows=tile_rows, algo="two_level",
-                                  serve=serve)
-    k_eff = min(k, n_valid)
-    np.testing.assert_allclose(np.asarray(sims)[:, :k_eff],
-                               np.asarray(ref_sims)[:, :k_eff], atol=1e-5)
-    if n_valid >= 1024:
-        # all four same-group plants must surface for query 0
-        top4 = set(int(x) for x in np.asarray(idx)[0, :4])
-        assert top4 == {g0, 256 + g0, 512 + g0, 768 + g0}, top4
-
-
-def test_pallas_knn_two_level_multi_tile():
-    """two_level across several tiles, clustered + duplicate rows
-    (exact duplicates exercise tie handling in the knockout)."""
-    rng = np.random.default_rng(13)
-    N, D, B, k = 2048, 128, 4, 10
-    data = rng.standard_normal((N, D)).astype(np.float32)
-    data[1500] = data[100]  # exact duplicate across tiles
-    queries = data[[100, 700, 1300, 2000]] + \
-        0.01 * rng.standard_normal((4, D)).astype(np.float32)
-    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), N,
-                                        jnp.asarray(queries), k)
-    idx, sims = _pallas_interpret(jnp.asarray(data), N,
-                                  jnp.asarray(queries), k, tile_rows=512,
-                                  algo="two_level", serve=4)
-    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
-                               atol=1e-5)
-    # query 0 must see BOTH duplicate rows in its top-2
-    assert set(int(x) for x in np.asarray(idx)[0, :2]) == {100, 1500}
 
 
 def test_pallas_knn_bf16_matches_xla_bf16():
