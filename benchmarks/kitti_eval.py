@@ -120,21 +120,22 @@ class DatasetWorld:
 
 
 class CnnDescriptorModel:
-    """Real-image descriptor path: per-keyframe CNN embeddings (CosPlace
-    / EigenPlaces weights via models/convert.py or onnx_import). Used
-    when --images/--model point at a KITTI image_2 directory."""
+    """Real-image descriptor path: per-keyframe CNN embeddings through
+    the image-sequence readers (utils/image_sequence.py). --images may
+    be a KITTI odometry sequence directory (image_2/ + times + calib),
+    a plain directory of images, or a glob. --model picks the weights:
+    a CosPlace checkpoint path (.npz via models/convert.py or
+    onnx_import), or 'shipped' for the self-trained weights."""
 
-    def __init__(self, image_dir, checkpoint):
+    def __init__(self, images, checkpoint):
         from cslam_tpu.models.cosplace import CosPlace
-        self.model = CosPlace(checkpoint=checkpoint)
-        self.files = sorted(
-            os.path.join(image_dir, f) for f in os.listdir(image_dir)
-            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        from cslam_tpu.utils.image_sequence import open_sequence
+        self.model = CosPlace(
+            {"frontend.nn_checkpoint": checkpoint or "shipped"})
+        self.seq = open_sequence(images)
 
     def embedding_for_frame(self, frame_index):
-        from PIL import Image
-        img = np.asarray(Image.open(self.files[frame_index]))
-        return self.model.compute_embedding(img)
+        return self.model.compute_embedding(self.seq.frame(frame_index))
 
 
 def make_params(robot_id, n_robots, budget):
@@ -308,9 +309,11 @@ def main(argv=None):
                     help="loop-closure measurement noise (m)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--images", default="",
-                    help="KITTI image_2 dir: real CNN descriptors")
+                    help="KITTI sequence dir / image dir / glob: real "
+                         "CNN descriptors per keyframe")
     ap.add_argument("--model", default="",
-                    help="CosPlace/EigenPlaces checkpoint (.npz/.pth/.onnx)")
+                    help="CosPlace checkpoint (.npz; default: shipped "
+                         "self-trained weights)")
     ap.add_argument("--out", default="benchmarks/KITTI_EVAL.json")
     args = ap.parse_args(argv)
 
