@@ -604,6 +604,42 @@ def bench_hot_loops():
     except Exception as exc:
         _log(f"verify bench failed: {type(exc).__name__}: {str(exc)[:100]}")
 
+    # --- batched verification: 8 of my keyframes vs one received frame
+    # in a single program (the detection-round budget; the handler's
+    # receive path uses this since r3) --------------------------------
+    from cslam_tpu.ops.matching2d import verify_keyframe_pairs
+    VB = 8
+
+    def make_batch(seed):
+        r = np.random.default_rng(seed)
+        desc1 = r.standard_normal((NK, DD)).astype(np.float32)
+        pts1 = r.standard_normal((NK, 3)).astype(np.float32) * 3.0
+        desc0 = (desc1[None] + 0.1 * r.standard_normal(
+            (VB, NK, DD))).astype(np.float32)
+        pts0 = pts1[None] - np.asarray([0.5, -0.2, 0.1], np.float32)
+        pts0 = np.broadcast_to(pts0, (VB, NK, 3)).copy()
+        m0 = np.ones((VB, NK), np.float32)
+        m1 = np.ones((NK,), np.float32)
+        return tuple(jnp.asarray(a) for a in (desc0, pts0, m0, desc1,
+                                              pts1, m1))
+
+    def verify_batch_step(x):
+        d0, p0, m0, d1, p1, m1 = x
+        res, n = verify_keyframe_pairs(d0, p0, m0, d1, p1, m1)
+        return jnp.stack([jnp.sum(res.t), jnp.sum(res.R),
+                          jnp.sum(res.inliers), jnp.sum(res.cov_diag),
+                          jnp.sum(n)])
+
+    try:
+        dt = _slope_generic(verify_batch_step, make_batch)
+        out["verify_batch8_ms"] = dt * 1e3
+        out["verify_batch8_per_pair_ms"] = dt * 1e3 / VB
+        _log(f"verify_batch: {dt*1e3:.3f} ms/batch-{VB} "
+             f"({dt*1e3/VB:.3f} ms amortized per pair)")
+    except Exception as exc:
+        _log(f"verify_batch bench failed: "
+             f"{type(exc).__name__}: {str(exc)[:100]}")
+
     # --- scancontext: query vs 256 candidates, all 60 shifts ----------
     NC, NR, NS = 256, 20, 60
     cands = jnp.asarray(rng.random((NC, NR, NS)), jnp.float32)

@@ -90,6 +90,14 @@ class LidarHandler:
                                            "frontend.keyframe_generation_ratio_threshold",
                                            1.0))
         self.voxel_size = params.get("frontend.voxel_size", 0.5)
+        # ICP iteration cap per GNC level. The GNC continuation only
+        # needs the weighted optimum TRACKED per mu level, not fully
+        # converged (the anneal refines it next level); candidate pairs
+        # that oscillate (non-revisits) otherwise burn the full budget
+        # on every level — measured 4x of the lidar mission's
+        # verification wall time.
+        self.icp_iters_per_level = params.get(
+            "frontend.icp_max_iters_per_level", 12)
 
     # ------------------------------------------------------------------
     def add_sensor_data(self, points: np.ndarray,
@@ -181,7 +189,8 @@ class LidarHandler:
         for R0, t0 in seeds:
             result = registration.gnc_icp(
                 src_j, sm_j, dst_j, dm_j, R0, t0,
-                max_corr_dist=2.0 * self.voxel_size)
+                max_corr_dist=2.0 * self.voxel_size,
+                max_iters=self.icp_iters_per_level)
             if best is None or \
                     (float(result.inlier_frac), -float(result.rmse)) > \
                     (float(best.inlier_frac), -float(best.rmse)):

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from cslam_tpu.comm import messages as msgs
@@ -309,19 +310,42 @@ class RGBDHandler:
 
     def receive_local_image_descriptors(self,
                                         msg: msgs.LocalImageDescriptors):
-        """Verify candidates addressed to me (reference :657-726)."""
+        """Verify candidates addressed to me (reference :657-726).
+
+        With classical features, every targeted keyframe of mine is
+        verified against the received frame in ONE batched program
+        (ops/matching2d.verify_keyframe_pairs) — the reference verifies
+        the round's budget pair by pair (rgbd_handler.cpp:687-697), and
+        per-pair dispatch dominated mission-scale verification cost.
+        The learned path (LightGlue) stays per-pair."""
         if msg.robot_id == self.robot_id:
             return
-        for rid, kid in zip(msg.matches_robot_id, msg.matches_keyframe_id):
-            if rid != self.robot_id:
-                continue
-            kf = self.local_keyframes.get(kid)
-            if kf is None:
-                continue
-            mask_b = np.ones(len(msg.points3d), dtype=np.float32)
-            result, _ = self._verify(kf, msg.descriptors.astype(np.float32),
-                                     msg.points3d, mask_b,
-                                     xy_b=msg.keypoints)
+        targets = [(kid, self.local_keyframes[kid])
+                   for rid, kid in zip(msg.matches_robot_id,
+                                       msg.matches_keyframe_id)
+                   if rid == self.robot_id and kid in self.local_keyframes]
+        if not targets:
+            return
+        mask_b = np.ones(len(msg.points3d), dtype=np.float32)
+        desc_b = msg.descriptors.astype(np.float32)
+        if self.lightglue is None and len(targets) > 1:
+            batch_res, _ = matching2d.verify_keyframe_pairs(
+                jnp.asarray(np.stack([kf.descriptors
+                                      for _, kf in targets])),
+                jnp.asarray(np.stack([kf.points3d for _, kf in targets])),
+                jnp.asarray(np.stack([kf.mask for _, kf in targets])),
+                jnp.asarray(desc_b), jnp.asarray(msg.points3d),
+                jnp.asarray(mask_b), min_inliers=self.min_inliers)
+            batch_res = jax.tree.map(np.asarray, batch_res)
+            results = [jax.tree.map(lambda x, b=b: x[b], batch_res)
+                       for b in range(len(targets))]
+        else:
+            results = []
+            for _, kf in targets:
+                result, _ = self._verify(kf, desc_b, msg.points3d, mask_b,
+                                         xy_b=msg.keypoints)
+                results.append(result)
+        for (kid, kf), result in zip(targets, results):
             # result pose maps my frame -> sender frame; between
             # measurement must be X_robot0^-1 X_robot1 with robot0 < robot1
             R_mine_to_sender = np.asarray(result.R)

@@ -128,3 +128,40 @@ def verify_keyframe_pair(desc0, pts0, mask0, desc1, pts1, mask1,
                             inlier_threshold=inlier_threshold,
                             min_inliers=min_inliers, seed=seed)
     return result, jnp.sum(match_valid)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "ratio_threshold", "inlier_threshold", "min_inliers",
+    "num_hypotheses"))
+def verify_keyframe_pairs(desc0, pts0, mask0, desc1, pts1, mask1,
+                          ratio_threshold=0.9, inlier_threshold=0.3,
+                          min_inliers=6, num_hypotheses=256, seed=0):
+    """Batched verification: B keyframes of MINE vs ONE received frame
+    in a single program.
+
+    A detection round delivers one LocalImageDescriptors message whose
+    match list targets several of my keyframes (reference hot loop
+    rgbd_handler.cpp:687-697 verifies them one by one); at ~2 ms of
+    device time per pair the per-pair dispatch dominates mission-scale
+    verification. Batching rides vmap: the (K, K) match matmuls and the
+    (H, 3, N) hypothesis pipelines stack into MXU-friendly
+    (B, ...) einsums, paying one dispatch for the whole budget.
+
+    Args:
+      desc0/pts0/mask0: (B, K, D), (B, K, 3), (B, K) — my keyframes.
+      desc1/pts1/mask1: (K, D), (K, 3), (K,) — the received frame.
+
+    Returns (RansacResult with leading (B,) axes, (B,) match counts).
+    """
+    B = desc0.shape[0]
+    seeds = jnp.int32(seed) + 9973 * jnp.arange(B, dtype=jnp.int32)
+
+    def one(d0, p0, m0, s):
+        idx1, valid = mutual_match(d0, m0, desc1, mask1, ratio_threshold)
+        res = ransac_rigid3d(p0, pts1[idx1], valid,
+                             inlier_threshold=inlier_threshold,
+                             min_inliers=min_inliers,
+                             num_hypotheses=num_hypotheses, seed=s)
+        return res, jnp.sum(valid)
+
+    return jax.vmap(one)(desc0, pts0, mask0, seeds)

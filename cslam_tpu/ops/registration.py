@@ -17,7 +17,8 @@ refines. The TPU-native design:
   pipeline pairing used by the lidar handler.
 
 Static shapes: both clouds padded with masks. Everything jits; the
-ICP loop is a lax.fori_loop.
+ICP inner loop is a convergence-gated lax.while_loop (capped at
+max_iters) under a fori_loop GNC continuation.
 """
 
 import functools
@@ -110,15 +111,19 @@ def nearest_neighbors(src, src_mask, dst, dst_mask):
 @functools.partial(jax.jit, static_argnames=("max_iters", "gnc_steps"))
 def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
             max_corr_dist=1.0, max_iters=30, gnc_steps=10,
-            fitness_threshold=0.3):
+            fitness_threshold=0.3, step_tol=1e-4):
     """Robust point-to-point ICP.
 
     Args:
       src, dst: (N, 3) / (M, 3) padded clouds with (N,), (M,) masks.
       R_init, t_init: initial guess (e.g. from Scan Context yaw).
       max_corr_dist: TLS inlier scale c (meters).
-      max_iters: ICP iterations per GNC level.
+      max_iters: ICP iteration cap per GNC level (the loop exits when
+        the update step falls below step_tol — warm-started levels
+        typically take 1-5 iterations).
       gnc_steps: GNC continuation levels (mu *= 1.4 each).
+      step_tol: convergence threshold on ||dR||_F + ||dt|| (1e-4:
+        ~0.1 mm/step — far below scan noise at voxel-scale data).
 
     Returns RegistrationResult; success = inlier fraction above
     fitness_threshold (the reference's registration gate analog).
@@ -134,16 +139,31 @@ def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
                          jnp.where(r_sq <= lb, 1.0, jnp.clip(mid, 0.0, 1.0)))
 
     def icp_at(mu, R, t):
-        def body(_, carry):
-            R, t = carry
+        # Convergence-gated: a fixed fori_loop burned max_iters NN
+        # matrices per GNC level (300 total at the defaults) when warm-
+        # started ICP converges in 1-5 steps per level — measured 10x
+        # of the lidar mission's wall clock. The exit test is the step
+        # size itself (Frobenius dR + dt norm), cheap relative to one
+        # (N, M) NN pass.
+        def cond(carry):
+            _, _, delta, it = carry
+            return (it < max_iters) & (delta > step_tol)
+
+        def body(carry):
+            R, t, _, it = carry
             moved = src @ R.T + t
             idx, d2 = nearest_neighbors(moved, src_mask, dst, dst_mask)
             matched = dst[idx]
             w = tls_weights(d2, mu) * src_mask
             w = jnp.where(jnp.isfinite(d2), w, 0.0)
-            return weighted_kabsch(src, matched, w)
+            Rn, tn = weighted_kabsch(src, matched, w)
+            delta = jnp.sqrt(jnp.sum((Rn - R) ** 2)) + \
+                jnp.linalg.norm(tn - t)
+            return Rn, tn, delta, it + 1
 
-        return jax.lax.fori_loop(0, max_iters, body, (R, t))
+        R, t, _, _ = jax.lax.while_loop(
+            cond, body, (R, t, jnp.float32(jnp.inf), jnp.int32(0)))
+        return R, t
 
     def gnc_body(k, carry):
         R, t, mu = carry

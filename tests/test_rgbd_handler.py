@@ -196,3 +196,43 @@ def test_stereo_depth_from_disparity():
     valid = kf.mask > 0
     assert valid.sum() > 10
     assert np.all(np.abs(kf.points3d[valid][:, 2] - 5.0) < 0.3)
+
+
+def test_batched_inter_robot_verification_multi_target():
+    """One LocalDescriptorsRequest targeting several of my keyframes
+    exercises the batched verify path (ops/matching2d.
+    verify_keyframe_pairs): every pair verifies in ONE program and
+    each published closure carries the per-pair relative pose."""
+    rng = np.random.default_rng(7)
+    router = InProcessRouter()
+    h0, _, bus0 = make_handler(0, 2, router)
+    h1, _, bus1 = make_handler(1, 2, router)
+    results = []
+    router.subscribe("/cslam/inter_robot_loop_closure", results.append)
+    pose0 = make_pose(0.0)
+    img0, depth0 = render_scene(pose0, rng)
+    h0.add_sensor_data(img0, depth0, INTR, pose0)
+    h0.process_new_sensor_data()
+    # three keyframes on robot 1 near the same place + one far away
+    poses1 = [make_pose(0.3, 0.05, 0.02), make_pose(0.5, -0.1, -0.04),
+              make_pose(0.2, 0.15, 0.0), make_pose(60.0, 0.0, np.pi)]
+    for p in poses1:
+        img, depth = render_scene(p, rng)
+        h1.add_sensor_data(img, depth, INTR, p)
+        h1.process_new_sensor_data()
+    # robot 0 transmits kf 0, matched against ALL of robot 1's frames
+    bus0.publish("cslam/local_descriptors_request",
+                 msgs.LocalDescriptorsRequest(
+                     keyframe_id=0, matches_robot_id=[1, 1, 1, 1],
+                     matches_keyframe_id=[0, 1, 2, 3]))
+    router.spin_until_idle()
+    assert len(results) == 4
+    by_kf = {lc.robot1_keyframe_id: lc for lc in results}
+    for k, pose1 in enumerate(poses1[:3]):
+        lc = by_kf[k]
+        assert lc.success, f"pair {k} failed to verify"
+        R_rel = pose0[0].T @ pose1[0]
+        t_rel = pose0[0].T @ (pose1[1] - pose0[1])
+        np.testing.assert_allclose(lc.pose[0], R_rel, atol=0.05)
+        np.testing.assert_allclose(lc.pose[1], t_rel, atol=0.15)
+    assert not by_kf[3].success  # the far-away frame must not verify
