@@ -117,11 +117,25 @@ def main():
         results["pgo"][shards] = 1.0 / dt
         print(f"pgo shards={shards}: {dt*1e3:.1f} ms/solve", file=sys.stderr)
 
-    base = min(results["knn"])
-    results["knn_scaling_efficiency"] = {
-        s: results["knn"][s] / (results["knn"][base] * s / base)
-        for s in results["knn"]
-    }
+    # Publish efficiency ONLY on real multi-device hardware: virtual
+    # CPU devices serialize every collective through one host, so an
+    # "efficiency" column there measures the serialization, not the
+    # kernel (round-2 verdict: the 0.10@8 figure invited misreading
+    # even flagged). The raw per-shard numbers stay for
+    # compile-coverage; benchmarks/HOST_SCALING.json carries the
+    # measured protocol-layer scaling.
+    if results["virtual_devices"]:
+        results["knn_scaling_efficiency"] = None
+        results["efficiency_note"] = (
+            "not meaningful on virtual (single-host) devices — "
+            "collectives serialize through one CPU; run on a real "
+            "multi-chip mesh for efficiency numbers")
+    else:
+        base = min(results["knn"])
+        results["knn_scaling_efficiency"] = {
+            s: results["knn"][s] / (results["knn"][base] * s / base)
+            for s in results["knn"]
+        }
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/SCALING.json", "w") as f:
         json.dump(results, f, indent=2)

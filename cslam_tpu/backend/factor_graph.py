@@ -90,6 +90,18 @@ class FactorGraph:
         self.prior_R = np.eye(3, dtype=np.float32)
         self.prior_t = np.zeros(3, dtype=np.float32)
         self.prior_weight = 1e4
+        # incremental to_arrays cache: mission solves call to_arrays
+        # once per optimization round on a graph that only appended a
+        # few nodes/factors since the last round — rebuilding all 13
+        # arrays (an O(E) python loop) and re-uploading every one of
+        # them (each jnp.asarray upload is its own ~30 ms relay
+        # roundtrip on the axon backend, CLAUDE.md) dominated the
+        # wall-device gap. The cache keeps the padded numpy mirrors
+        # plus the device arrays and re-uploads only fields whose rows
+        # actually changed.
+        self._cache = None
+        self._estimates_dirty = True
+        self._prior_dirty = True
 
     def add_node(self, key: Tuple[int, int], R=None, t=None) -> int:
         if key in self.key_to_index:
@@ -97,6 +109,7 @@ class FactorGraph:
             if R is not None:
                 self.R[idx] = np.asarray(R, dtype=np.float32)
                 self.t[idx] = np.asarray(t, dtype=np.float32)
+                self._estimates_dirty = True
             return idx
         idx = len(self.keys)
         self.key_to_index[key] = idx
@@ -122,6 +135,7 @@ class FactorGraph:
             self.prior_R = np.asarray(R, dtype=np.float32)
             self.prior_t = np.asarray(t, dtype=np.float32)
         self.prior_weight = weight
+        self._prior_dirty = True
 
     @property
     def num_nodes(self):
@@ -151,6 +165,57 @@ class FactorGraph:
         if edge_bucket_multiple > 1 and E % edge_bucket_multiple:
             E = ((E + edge_bucket_multiple - 1) // edge_bucket_multiple
                  ) * edge_bucket_multiple
+        cache_key = (P, E, edge_bucket_multiple, sort_by_robot)
+        c = self._cache
+        # sort_by_robot re-orders existing rows whenever factors arrive,
+        # so only the unsorted layout is cached incrementally
+        if (c is None or c["key"] != cache_key or sort_by_robot or
+                c["n_nodes"] > self.num_nodes or
+                c["n_factors"] > self.num_factors):
+            return self._build_arrays_full(P, E, sort_by_robot, cache_key)
+        np_arr, dev = c["np"], c["dev"]
+        changed = set()
+        if self._estimates_dirty or c["n_nodes"] < self.num_nodes:
+            n0 = c["n_nodes"] if not self._estimates_dirty else 0
+            if self.num_nodes > n0:
+                np_arr["R"][n0:self.num_nodes] = np.stack(self.R[n0:])
+                np_arr["t"][n0:self.num_nodes] = np.stack(self.t[n0:])
+            np_arr["node_mask"][c["n_nodes"]:self.num_nodes] = 1.0
+            changed |= {"R", "t"}
+            if c["n_nodes"] < self.num_nodes:
+                changed.add("node_mask")
+            c["n_nodes"] = self.num_nodes
+            self._estimates_dirty = False
+        if c["n_factors"] < self.num_factors:
+            for k in range(c["n_factors"], self.num_factors):
+                f = self.factors[k]
+                np_arr["e_i"][k] = self.key_to_index[f.key_from]
+                np_arr["e_j"][k] = self.key_to_index[f.key_to]
+                np_arr["R_meas"][k] = f.R
+                np_arr["t_meas"][k] = f.t
+                np_arr["sqrt_info"][k] = f.sqrt_info
+                np_arr["edge_mask"][k] = 1.0
+                np_arr["is_loop"][k] = 1.0 if f.is_loop else 0.0
+            changed |= {"e_i", "e_j", "R_meas", "t_meas", "sqrt_info",
+                        "edge_mask", "is_loop"}
+            c["n_factors"] = self.num_factors
+        for name in changed:
+            # .copy(): jnp.asarray of an aligned numpy array can alias
+            # its buffer on the CPU backend; later in-place mutation of
+            # the mirror would corrupt the "device" array
+            dev[name] = jnp.asarray(np_arr[name].copy())
+        if self._prior_dirty:
+            prior_idx = self.key_to_index.get(
+                self.prior_key, 0) if self.prior_key is not None else 0
+            dev["prior_idx"] = jnp.asarray(prior_idx, dtype=jnp.int32)
+            dev["prior_R"] = jnp.asarray(self.prior_R)
+            dev["prior_t"] = jnp.asarray(self.prior_t)
+            dev["prior_weight"] = jnp.asarray(self.prior_weight,
+                                              dtype=jnp.float32)
+            self._prior_dirty = False
+        return GraphArrays(**dev)
+
+    def _build_arrays_full(self, P, E, sort_by_robot, cache_key):
         factors = self.factors
         if sort_by_robot:
             factors = sorted(
@@ -182,25 +247,37 @@ class FactorGraph:
         prior_idx = self.key_to_index.get(
             self.prior_key, 0) if self.prior_key is not None else 0
 
-        return GraphArrays(
-            R=jnp.asarray(R), t=jnp.asarray(t),
-            node_mask=jnp.asarray(node_mask),
-            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
-            R_meas=jnp.asarray(R_meas), t_meas=jnp.asarray(t_meas),
-            sqrt_info=jnp.asarray(sqrt_info),
-            edge_mask=jnp.asarray(edge_mask), is_loop=jnp.asarray(is_loop),
+        np_arr = {"R": R, "t": t, "node_mask": node_mask, "e_i": e_i,
+                  "e_j": e_j, "R_meas": R_meas, "t_meas": t_meas,
+                  "sqrt_info": sqrt_info, "edge_mask": edge_mask,
+                  "is_loop": is_loop}
+        dev = {name: jnp.asarray(a.copy()) for name, a in np_arr.items()}
+        dev.update(
             prior_idx=jnp.asarray(prior_idx, dtype=jnp.int32),
             prior_R=jnp.asarray(self.prior_R),
             prior_t=jnp.asarray(self.prior_t),
             prior_weight=jnp.asarray(self.prior_weight, dtype=jnp.float32))
+        if not sort_by_robot:
+            self._cache = {"key": cache_key, "np": np_arr, "dev": dev,
+                           "n_nodes": self.num_nodes,
+                           "n_factors": self.num_factors}
+            self._estimates_dirty = False
+            self._prior_dirty = False
+        return GraphArrays(**dev)
 
     def update_estimates(self, R, t):
-        """Write optimized estimates back into the host-side store."""
+        """Write optimized estimates back into the host-side store.
+
+        Accepts device or host arrays; pulls both in ONE device_get
+        (two separate np.asarray calls are two relay roundtrips)."""
+        import jax
+        R, t = jax.device_get((R, t))
         R = np.asarray(R)
         t = np.asarray(t)
         for idx in range(self.num_nodes):
             self.R[idx] = R[idx]
             self.t[idx] = t[idx]
+        self._estimates_dirty = True
 
     def estimates_for_robot(self, robot_id: int):
         """Per-robot extraction by key label (reference

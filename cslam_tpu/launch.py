@@ -105,6 +105,12 @@ def robot_main(robot_id: int, args):
     kf_period = args.sim_kf_period
     last_kf = 0.0
 
+    # per-tick latency + convergence instrumentation (host-scaling
+    # measurements: benchmarks/host_scaling_bench.py)
+    tick_stats = {k: [0, 0.0, 0.0] for k in periods}  # count, sum, max
+    first_opt_time = None
+    first_lc_time = None
+
     start = time.monotonic()
     while time.monotonic() - start < args.duration:
         now = time.monotonic()
@@ -126,8 +132,20 @@ def robot_main(robot_id: int, args):
                 ("opt_start", node.tick_optimization_start),
                 ("opt_loop", node.tick_optimization_loop)):
             if now - last[name] >= periods[name]:
+                t0 = time.monotonic()
                 tick()
+                dt = time.monotonic() - t0
+                st = tick_stats[name]
+                st[0] += 1
+                st[1] += dt
+                st[2] = max(st[2], dt)
                 last[name] = now
+        if first_opt_time is None and \
+                node.backend.optimization_count > 0:
+            first_opt_time = time.monotonic() - start
+        if first_lc_time is None and \
+                node.detection.lcm.candidate_selector.fixed_edges:
+            first_lc_time = time.monotonic() - start
 
     n_est = len(node.backend.current_pose_estimates)
     n_fixed = len(node.detection.lcm.candidate_selector.fixed_edges)
@@ -142,6 +160,42 @@ def robot_main(robot_id: int, args):
         logger.log_info("comm_sent_bytes", bus.sent_bytes)
         logger.write_logs()
         logger.close()
+    if getattr(args, "json_out", ""):
+        import json
+        metrics = {
+            "robot_id": robot_id,
+            "keyframes": next_kf,
+            "verified_loop_closures": n_fixed,
+            "optimizations": node.backend.optimization_count,
+            "optimized_estimates": n_est,
+            "comm_tx_bytes": bus.sent_bytes,
+            "comm_rx_bytes": bus.received_bytes,
+            "gossip_comm_bytes":
+                node.detection.log_detection_cumulative_communication,
+            "first_loop_closure_s": first_lc_time,
+            "first_optimization_s": first_opt_time,
+            "tick_latency": {
+                k: {"count": c, "mean_ms": (s / c * 1e3) if c else None,
+                    "max_ms": m * 1e3}
+                for k, (c, s, m) in tick_stats.items()},
+        }
+        if args.sim:
+            from cslam_tpu.utils.evaluation import ate_rmse
+            gt_R, gt_t = world.trajectories[robot_id]
+            est = node.backend.current_pose_estimates
+            own = sorted(k for k in est if k[0] == robot_id)
+            metrics["ate_odometry_m"] = float(
+                ate_rmse(odom_t[:next_kf], gt_t[:next_kf]))
+            if len(own) > 3:
+                est_t = np.stack([est[k][1] for k in own])
+                gt_rows = np.stack([gt_t[k[1]] for k in own])
+                metrics["ate_optimized_m"] = float(ate_rmse(est_t, gt_rows))
+            else:
+                metrics["ate_optimized_m"] = None
+        os.makedirs(args.json_out, exist_ok=True)
+        with open(os.path.join(args.json_out,
+                               f"robot{robot_id}.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
     bus.close()
     return 0
 
@@ -188,6 +242,8 @@ def main(argv=None):
     parser.add_argument("--hosts", type=str, default="",
                         help="comma-separated IPv4 per robot id")
     parser.add_argument("--log-folder", type=str, default="")
+    parser.add_argument("--json-out", type=str, default="",
+                        help="write per-robot metrics JSON into this dir")
     parser.add_argument("--trace-dir", type=str, default="",
                         help="write per-robot chrome-trace JSON here "
                              "(open in chrome://tracing or Perfetto)")
