@@ -212,26 +212,24 @@ class AlgebraicConnectivityMaximization:
     # Rekeying between (robot, keyframe) keys and contiguous node ids
     # ------------------------------------------------------------------
     def compute_offsets(self, is_robot_included: Dict[int, bool]):
-        self.offsets = {i: 0 for i in range(self.max_nb_robots)}
-        previous_offset = 0
-        previous_nb_poses = 0
+        """Node-id base per robot: cumulative pose count over the included
+        robots that precede it; excluded robots keep base 0."""
+        running_total = 0
+        self.offsets = {}
         for rid in range(self.max_nb_robots):
+            self.offsets[rid] = running_total if is_robot_included[rid] else 0
             if is_robot_included[rid]:
-                self.offsets[rid] = previous_offset + previous_nb_poses
-                previous_offset = self.offsets[rid]
-                previous_nb_poses = self.nb_poses[rid]
+                running_total += self.nb_poses[rid]
 
     def rekey_edges(self, edges: Sequence[EdgeInterRobot],
                     is_robot_included: Dict[int, bool]) -> List[Edge]:
-        rekeyed = []
-        for e in edges:
-            if is_robot_included[e.robot0_id] and is_robot_included[
-                    e.robot1_id]:
-                rekeyed.append(
-                    Edge(self.offsets[e.robot0_id] + e.robot0_keyframe_id,
-                         self.offsets[e.robot1_id] + e.robot1_keyframe_id,
-                         e.weight))
-        return rekeyed
+        """(robot, keyframe) endpoints -> contiguous node ids; edges
+        touching an excluded robot are dropped."""
+        return [
+            Edge(self.offsets[e.robot0_id] + e.robot0_keyframe_id,
+                 self.offsets[e.robot1_id] + e.robot1_keyframe_id, e.weight)
+            for e in self.get_included_edges(edges, is_robot_included)
+        ]
 
     def get_included_edges(self, edges: Sequence[EdgeInterRobot],
                            is_robot_included: Dict[int, bool]):
@@ -242,36 +240,36 @@ class AlgebraicConnectivityMaximization:
 
     def fill_odometry(self) -> List[Edge]:
         """Odometry chain edges inferred from pose counts (:347-361)."""
-        odom = []
-        for rid in range(len(self.nb_poses)):
-            for k in range(self.nb_poses[rid] - 1):
-                odom.append(
-                    Edge(self.offsets[rid] + k, self.offsets[rid] + k + 1,
-                         self.fixed_weight))
-        return odom
+        return [
+            Edge(base + k, base + k + 1, self.fixed_weight)
+            for rid in range(len(self.nb_poses))
+            for base in (self.offsets[rid],)
+            for k in range(self.nb_poses[rid] - 1)
+        ]
+
+    def _node_owner(self, node: int, is_robot_included: Dict[int,
+                                                             bool]) -> int:
+        """Included robot owning a contiguous node id: the highest robot id
+        whose base does not exceed the node (ties on equal bases — empty
+        included robots — resolve to the later id, matching the reference
+        recovery loop :363-388)."""
+        owner = 0
+        for rid, base in self.offsets.items():
+            if rid and is_robot_included[rid] and node >= base:
+                owner = rid
+        return owner
 
     def recover_inter_robot_edges(
             self, edges: Sequence[Edge],
             is_robot_included: Dict[int, bool]) -> List[EdgeInterRobot]:
-        """Invert rekey_edges: node id -> (robot, keyframe) (:363-388).
-
-        A node belongs to the included robot with the largest offset not
-        exceeding it (iteration order matches the reference: later robot
-        ids win ties)."""
+        """Invert rekey_edges: node id -> (robot, keyframe)."""
         recovered = []
         for e in edges:
-            robot0_id = 0
-            robot1_id = 0
-            for rid in self.offsets:
-                if rid != 0:
-                    if is_robot_included[rid] and e.i >= self.offsets[rid]:
-                        robot0_id = rid
-                    if is_robot_included[rid] and e.j >= self.offsets[rid]:
-                        robot1_id = rid
+            r0 = self._node_owner(e.i, is_robot_included)
+            r1 = self._node_owner(e.j, is_robot_included)
             recovered.append(
-                EdgeInterRobot(robot0_id, e.i - self.offsets[robot0_id],
-                               robot1_id, e.j - self.offsets[robot1_id],
-                               e.weight))
+                EdgeInterRobot(r0, e.i - self.offsets[r0], r1,
+                               e.j - self.offsets[r1], e.weight))
         return recovered
 
     # ------------------------------------------------------------------
