@@ -226,6 +226,117 @@ class KittiOdometrySequence:
                                 baseline=baseline)
 
 
+def _parse_tum_file_list(path: str):
+    """[(stamp, relative_path)] from a TUM rgb.txt / depth.txt listing
+    ('# comment' lines, then 'stamp filename' rows)."""
+    entries = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) >= 2:
+                entries.append((float(parts[0]), parts[1]))
+    return entries
+
+
+class TumRgbdSequence:
+    """A TUM RGB-D sequence directory: real color + real metric depth.
+
+    This is the dataset form of what the reference's RGBDHandler consumes
+    over ROS (image+depth ApproximateTimeSynchronizer,
+    /root/reference/src/front_end/rgbd_handler.cpp:180-186): rgb/ and
+    depth/ PNG streams with independent stamps, associated here by
+    nearest-stamp within `max_dt` (unmatched rgb frames are dropped, the
+    sync's behavior). Layout:
+
+        <seq>/
+          rgb.txt   depth.txt      '# comments' then 'stamp file' rows
+          rgb/*.png                uint8 color
+          depth/*.png              uint16, meters = value / depth_scale
+          groundtruth.txt          optional 'stamp tx ty tz qx qy qz qw'
+
+    `frame(i)` -> uint8 RGB; `depth(i)` -> float32 meters (0 = invalid,
+    TUM's convention). Default intrinsics are the TUM Freiburg pinhole
+    (fx=fy=525, cx=319.5, cy=239.5) — pass `intrinsics` for calibrated
+    use. `depth_scale` defaults to TUM's 5000 units/meter.
+    """
+
+    def __init__(self, seq_dir: str, max_dt: float = 0.02,
+                 depth_scale: float = 5000.0, intrinsics=None):
+        self.seq_dir = seq_dir
+        rgb_list = os.path.join(seq_dir, "rgb.txt")
+        depth_list = os.path.join(seq_dir, "depth.txt")
+        if os.path.exists(rgb_list):
+            rgb = _parse_tum_file_list(rgb_list)
+        else:  # listing-free dumps: stamps are the filenames
+            rgb_dir = os.path.join(seq_dir, "rgb")
+            rgb = sorted(
+                (float(os.path.splitext(f)[0]), os.path.join("rgb", f))
+                for f in os.listdir(rgb_dir)
+                if f.lower().endswith(IMAGE_EXTS))
+        if os.path.exists(depth_list):
+            depth = _parse_tum_file_list(depth_list)
+        else:
+            depth_dir = os.path.join(seq_dir, "depth")
+            depth = sorted(
+                (float(os.path.splitext(f)[0]), os.path.join("depth", f))
+                for f in os.listdir(depth_dir)
+                if f.lower().endswith(IMAGE_EXTS))
+        if not rgb or not depth:
+            raise FileNotFoundError(f"{seq_dir}: empty rgb or depth stream")
+
+        # nearest-stamp association (two sorted streams, one pass)
+        depth_stamps = np.asarray([s for s, _ in depth])
+        self._pairs = []  # (stamp, rgb_path, depth_path)
+        for stamp, rgb_path in rgb:
+            j = int(np.searchsorted(depth_stamps, stamp))
+            best, best_dt = None, max_dt
+            for cand in (j - 1, j):
+                if 0 <= cand < len(depth):
+                    dt = abs(depth_stamps[cand] - stamp)
+                    if dt <= best_dt:
+                        best, best_dt = cand, dt
+            if best is not None:
+                self._pairs.append((stamp, rgb_path, depth[best][1]))
+        if not self._pairs:
+            raise ValueError(
+                f"{seq_dir}: no rgb/depth pairs within {max_dt}s")
+
+        self.depth_scale = float(depth_scale)
+        self._intrinsics = intrinsics
+
+        self.trajectory = None  # (stamps, R, t) ground truth if shipped
+        gt = os.path.join(seq_dir, "groundtruth.txt")
+        if os.path.exists(gt):
+            from cslam_tpu.utils.datasets import load_tum_trajectory
+            self.trajectory = load_tum_trajectory(gt)
+
+    def __len__(self):
+        return len(self._pairs)
+
+    def stamp(self, i: int) -> float:
+        return self._pairs[i][0]
+
+    def frame(self, i: int) -> np.ndarray:
+        return _load_image(os.path.join(self.seq_dir, self._pairs[i][1]),
+                           grayscale=False)
+
+    def depth(self, i: int) -> np.ndarray:
+        from PIL import Image
+        raw = np.asarray(
+            Image.open(os.path.join(self.seq_dir, self._pairs[i][2])))
+        return raw.astype(np.float32) / self.depth_scale
+
+    def intrinsics(self):
+        if self._intrinsics is None:
+            from cslam_tpu.frontend.rgbd_handler import CameraIntrinsics
+            self._intrinsics = CameraIntrinsics(fx=525.0, fy=525.0,
+                                                cx=319.5, cy=239.5)
+        return self._intrinsics
+
+
 def _default_intrinsics(h, w):
     from cslam_tpu.frontend.rgbd_handler import CameraIntrinsics
     f = 0.9 * w
@@ -234,10 +345,14 @@ def _default_intrinsics(h, w):
 
 def open_sequence(path: str, **kwargs):
     """KittiOdometrySequence when `path` looks like a KITTI sequence dir
-    (has image_N/), else GlobImageSequence."""
-    if os.path.isdir(path) and any(
-            d.startswith("image_") and
-            os.path.isdir(os.path.join(path, d))
-            for d in os.listdir(path)):
-        return KittiOdometrySequence(path, **kwargs)
+    (has image_N/), TumRgbdSequence when it has rgb/ + depth/, else
+    GlobImageSequence."""
+    if os.path.isdir(path):
+        entries = os.listdir(path)
+        if any(d.startswith("image_") and
+               os.path.isdir(os.path.join(path, d)) for d in entries):
+            return KittiOdometrySequence(path, **kwargs)
+        if all(os.path.isdir(os.path.join(path, d))
+               for d in ("rgb", "depth")):
+            return TumRgbdSequence(path, **kwargs)
     return GlobImageSequence(path, **kwargs)
