@@ -109,11 +109,28 @@ class GlobalDescriptor(Message):
                ("descriptor", "floats")]
 
 
+_QUANTIZED_SENTINEL = 0xFFFFFFFF
+
+
 @dataclass
 class GlobalDescriptors(Message):
+    """Gossip container. `quantization="int8"` encodes each descriptor
+    as per-descriptor affine uint8 (min + scale + 1 B/element) instead
+    of 4 B/float — 4x less DCN volume than the reference's float wire
+    format (4 B/float comm accounting, g_d_l_c_d.py:210-214) at a
+    worst-case elementwise error of ptp/510 (~1e-3 cosine shift on
+    unit-norm CNN descriptors, far below the 0.75 matching threshold's
+    sensitivity). The float layout is unchanged, so both encodings
+    coexist on one bus: the decoder dispatches on a count-field
+    sentinel no float payload can produce."""
+
     descriptors: List[GlobalDescriptor] = field(default_factory=list)
+    quantization: str = "none"
 
     def to_bytes(self):
+        if self.quantization == "int8" and self.descriptors and len(
+                {d.descriptor.size for d in self.descriptors}) == 1:
+            return self._to_bytes_int8()
         buf = io.BytesIO()
         buf.write(struct.pack("<I", len(self.descriptors)))
         for d in self.descriptors:
@@ -122,10 +139,39 @@ class GlobalDescriptors(Message):
             buf.write(payload)
         return buf.getvalue()
 
+    def _to_bytes_int8(self):
+        buf = io.BytesIO()
+        dim = self.descriptors[0].descriptor.size
+        buf.write(struct.pack("<IBII", _QUANTIZED_SENTINEL, 1,
+                              len(self.descriptors), dim))
+        for d in self.descriptors:
+            x = np.ascontiguousarray(d.descriptor, dtype=np.float32)
+            minv = float(x.min())
+            scale = float(x.max() - minv) / 255.0
+            q = np.zeros(dim, np.uint8) if scale == 0.0 else np.clip(
+                np.rint((x - minv) / scale), 0, 255).astype(np.uint8)
+            buf.write(struct.pack("<iiff", d.keyframe_id, d.robot_id,
+                                  scale, minv))
+            buf.write(q.tobytes())
+        return buf.getvalue()
+
     @classmethod
     def from_bytes(cls, data):
         buf = io.BytesIO(data)
         (n,) = struct.unpack("<I", buf.read(4))
+        if n == _QUANTIZED_SENTINEL:
+            (version,) = struct.unpack("<B", buf.read(1))
+            if version != 1:
+                raise ValueError(f"unknown descriptor encoding {version}")
+            n, dim = struct.unpack("<II", buf.read(8))
+            out = []
+            for _ in range(n):
+                kf, rid, scale, minv = struct.unpack("<iiff", buf.read(16))
+                q = np.frombuffer(buf.read(dim), dtype=np.uint8)
+                out.append(GlobalDescriptor(
+                    keyframe_id=kf, robot_id=rid,
+                    descriptor=minv + scale * q.astype(np.float32)))
+            return cls(descriptors=out, quantization="int8")
         out = []
         for _ in range(n):
             (sz,) = struct.unpack("<I", buf.read(4))

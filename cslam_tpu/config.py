@@ -31,6 +31,10 @@ class FrontendConfig:
     intra_loop_min_inbetween_keyframes: int = 10
     detection_publication_period_sec: float = 1.0
     detection_publication_max_elems_per_msg: int = 10
+    # "int8": per-descriptor affine uint8 gossip encoding — 4x less DCN
+    # volume than the reference's 4 B/float wire format, ~1e-3 cosine
+    # error (comm/messages.py GlobalDescriptors)
+    gossip_descriptor_quantization: str = "none"  # none|int8
     enable_intra_robot_loop_closures: bool = False
     global_descriptors_topic: str = "global_descriptors"
     inter_robot_matches_topic: str = "inter_robot_matches"

@@ -160,13 +160,20 @@ class GlobalDescriptorLoopClosureDetection:
         chunks = dict_to_list_chunks(
             self.global_descriptors_buffer, from_kf_id - first,
             self.params["frontend.detection_publication_max_elems_per_msg"])
+        quant = self.params.get(
+            "frontend.gossip_descriptor_quantization", "none")
         for chunk in chunks:
             if not chunk:
                 continue
-            out = msgs.GlobalDescriptors(descriptors=chunk)
+            out = msgs.GlobalDescriptors(descriptors=chunk,
+                                         quantization=quant)
             self.global_descriptor_publisher.publish(out)
+            dim = len(chunk[0].descriptor)
+            # reference accounting is 4 B/float (g_d_l_c_d.py:210-214);
+            # int8 gossip ships 1 B/element + 16 B ids/scale/min
+            per_desc = dim + 16 if quant == "int8" else dim * 4
             self.log_detection_cumulative_communication += (
-                len(chunk) * len(chunk[0].descriptor) * 4)
+                len(chunk) * per_desc)
         self.delete_useless_descriptors()
         self._log("detection_cumulative_communication",
                   self.log_detection_cumulative_communication)
