@@ -716,6 +716,37 @@ def _tpu_reachable(timeout_s=480):
         return False
 
 
+def bench_relay_sync_floor(iters=12):
+    """Cost of ONE host sync of a freshly dispatched (trivial) program.
+
+    On the axon relay the first fetch of any computation's result pays a
+    fixed RPC latency (~31 ms measured) regardless of device time or
+    payload; dispatch and H2D uploads are async (~0.01-0.1 ms). Any
+    single-solve wall time therefore carries exactly one floor on top of
+    device time — this measures it so wall-minus-device gaps can be
+    checked against it (a gap near the floor means zero host fat; on a
+    local TPU host the floor is ~0.1 ms and wall ≈ device)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def tiny(x):
+        return x + 1.0
+
+    x = jax.device_put(np.zeros((512, 3), np.float32))
+    np.asarray(tiny(x))  # compile
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.asarray(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    floor = ts[len(ts) // 2]
+    _log(f"relay sync floor: {floor*1e3:.2f} ms per dispatched-program "
+         "fetch (trivial kernel)")
+    return floor
+
+
 def main():
     import jax
 
@@ -737,12 +768,28 @@ def main():
     platform = devices[0].platform
     _log(f"bench on {devices[0]} (platform={platform})")
 
+    relay_floor = bench_relay_sync_floor()
     qps, knn_detail = bench_knn(jnp, knn)
     knn_1m = bench_knn_1m(jnp)
     mac_dt = bench_mac(np)
     pgo_dt, pgo_dev = bench_pgo(n=1000)  # PCG path (6P > dense threshold)
     pgo_500_dt, pgo_500_dev = bench_pgo(n=500)  # also PCG (padded 512)
     hot = bench_hot_loops()
+
+    # Wall-minus-device gap vs the measured relay floor: a solve whose
+    # gap is within ~1.3x of the floor makes exactly one sync and has no
+    # per-call host fat left to cut (the floor itself is relay latency,
+    # not framework cost — a local TPU host pays ~0.1 ms instead).
+    gap_checks = {}
+    for name, wall, dev in (("pgo_500", pgo_500_dt, pgo_500_dev),
+                            ("pgo_1000", pgo_dt, pgo_dev)):
+        if dev:
+            gap = (wall - dev) * 1e3
+            ok = gap <= relay_floor * 1e3 * 1.3 + 2.0
+            gap_checks[name] = {"gap_ms": gap, "single_sync_floor_ok": ok}
+            _log(f"{name}: wall-device gap {gap:.1f} ms vs relay floor "
+                 f"{relay_floor*1e3:.1f} ms -> "
+                 f"{'single-sync, no host fat' if ok else 'EXCESS HOST COST'}")
 
     baseline_qps = 1.0 / 0.030  # nns_matching.py:44 — 30 ms per query
     detail = {
@@ -757,6 +804,8 @@ def main():
         "pgo_device_ms_1000poses": pgo_dev * 1e3 if pgo_dev else None,
         "pgo_device_ms_500poses": (pgo_500_dev * 1e3
                                    if pgo_500_dev else None),
+        "relay_sync_floor_ms": relay_floor * 1e3,
+        "wall_device_gap_vs_relay_floor": gap_checks,
         "hot_loops": hot,
     }
     os.makedirs("benchmarks", exist_ok=True)
