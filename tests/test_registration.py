@@ -100,3 +100,59 @@ def test_voxel_downsample():
     # downsampled set covers the cloud at voxel resolution
     for q in pts[rng.choice(1000, 20)]:
         assert np.min(np.linalg.norm(kept_pts - q, axis=1)) < 2.0
+
+
+def test_horn_rotation_matches_svd_kabsch():
+    """horn_rotation (quaternion eigenproblem by matrix squaring, no
+    batched LAPACK) agrees with SVD-Kabsch on the objective tr(R^T cov)
+    and always returns a PROPER rotation — including reflection-shaped
+    covariances where SVD needs its det-flip guard."""
+    rng = np.random.default_rng(3)
+    for trial in range(50):
+        n = int(rng.integers(3, 40))
+        src = rng.standard_normal((n, 3)).astype(np.float32)
+        A = rng.standard_normal((3, 3))
+        Q, _ = np.linalg.qr(A)
+        if np.linalg.det(Q) < 0:
+            Q[:, 0] *= -1
+        noise = rng.standard_normal((n, 3)) * rng.choice([0.0, 0.01, 0.3])
+        dst = (src @ Q.T + noise).astype(np.float32)
+        w = rng.random(n).astype(np.float32)
+        ws = w.sum()
+        mu_s = (src * w[:, None]).sum(0) / ws
+        mu_d = (dst * w[:, None]).sum(0) / ws
+        cov = ((dst - mu_d) * w[:, None]).T @ (src - mu_s) / ws
+        Rh = np.asarray(registration.horn_rotation(jnp.asarray(cov)))
+        assert np.linalg.det(Rh) == pytest.approx(1.0, abs=1e-4)
+        np.testing.assert_allclose(Rh @ Rh.T, np.eye(3), atol=1e-5)
+        U, _, Vt = np.linalg.svd(cov)
+        S = np.diag([1.0, 1.0, np.linalg.det(U @ Vt)])
+        Rs = U @ S @ Vt
+        assert np.trace(Rh.T @ cov) >= np.trace(Rs.T @ cov) - 1e-5
+    # reflection-shaped (negative-determinant) covariances
+    for trial in range(20):
+        cov = rng.standard_normal((3, 3)).astype(np.float32)
+        Rh = np.asarray(registration.horn_rotation(jnp.asarray(cov)))
+        assert np.linalg.det(Rh) == pytest.approx(1.0, abs=1e-4)
+        U, _, Vt = np.linalg.svd(cov)
+        S = np.diag([1.0, 1.0, np.linalg.det(U @ Vt)])
+        assert np.trace(Rh.T @ cov) >= np.trace((U @ S @ Vt).T @ cov) - 1e-5
+    # degenerate: zero covariance -> identity
+    np.testing.assert_allclose(
+        np.asarray(registration.horn_rotation(jnp.zeros((3, 3)))),
+        np.eye(3), atol=1e-6)
+
+
+def test_weighted_kabsch_exact_recovery():
+    rng = np.random.default_rng(4)
+    src = rng.standard_normal((32, 3)).astype(np.float32)
+    A = rng.standard_normal((3, 3))
+    Q, _ = np.linalg.qr(A)
+    if np.linalg.det(Q) < 0:
+        Q[:, 0] *= -1
+    t = rng.standard_normal(3).astype(np.float32)
+    dst = src @ Q.T + t
+    R_est, t_est = registration.weighted_kabsch(
+        jnp.asarray(src), jnp.asarray(dst), jnp.ones(32))
+    np.testing.assert_allclose(np.asarray(R_est), Q, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t_est), t, atol=1e-5)
