@@ -78,6 +78,42 @@ def polar_rotation3x3(M, iters=8):
     return X
 
 
+def smallest_eigvec_sym3x3(M, squarings=10):
+    """Unit eigenvector of the smallest eigenvalue of symmetric PSD
+    (..., 3, 3) batches — pure batched arithmetic, no LAPACK.
+
+    The smallest eigenvector of M is the LARGEST eigenvector of
+    B = tr(M) I - M (PSD, since tr >= lambda_max for PSD M). B is
+    renormalized and squared `squarings` times: B^(2^k) collapses to the
+    rank-1 dominant subspace, whose largest column is the eigenvector
+    (same extraction as registration.horn_rotation). A batched
+    jnp.linalg.eigh over per-point normal covariances was ~90% of the
+    FPFH kernel's device time (the batched-small-LAPACK pathology, see
+    module docstring). Eigengap caveat: for a locally planar
+    neighborhood the gap ratio is ~0.5 and convergence is crushing; for
+    a degenerate (linear/isotropic) neighborhood the normal is
+    ill-defined either way and the result is an arbitrary stable unit
+    vector, like eigh's."""
+    tr = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
+    B = tr[..., None, None] * jnp.eye(3, dtype=M.dtype) - M
+    norm = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1), keepdims=True))
+    B = B / jnp.maximum(norm, 1e-30)
+    # small identity shift keeps the all-zero (padded) case returning a
+    # unit vector instead of 0/0
+    B = B + 0.1 * jnp.eye(3, dtype=M.dtype)
+    for _ in range(squarings):
+        B = B @ B
+        n2 = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1), keepdims=True))
+        B = B / jnp.maximum(n2, 1e-30)
+    colnorm = jnp.sum(B * B, axis=-2)                     # (..., 3)
+    onehot = (colnorm == jnp.max(colnorm, axis=-1,
+                                 keepdims=True)).astype(M.dtype)
+    # ties (isotropic case) average parallel columns — still a valid pick
+    v = jnp.einsum("...ij,...j->...i", B, onehot)
+    return v / jnp.maximum(
+        jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)
+
+
 def batched_inv_small(H, eps=1e-30):
     """Inverse of a (..., n, n) batch of small matrices, unrolled.
 

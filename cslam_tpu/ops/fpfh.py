@@ -24,6 +24,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from cslam_tpu.ops.batched_linalg import smallest_eigvec_sym3x3
+
 N_BINS = 11  # per angle, 33-d descriptor (open3d default)
 
 
@@ -47,8 +49,10 @@ def estimate_normals(points, mask, k=16):
     centered = jnp.where(valid, neigh - mean[:, None], 0)
     cov = jnp.einsum("nki,nkj->nij", centered, centered)
     cov = cov + jnp.eye(3) * 1e-9
-    _, vecs = jnp.linalg.eigh(cov)
-    normals = vecs[:, :, 0]  # smallest eigenvalue
+    # batched eigh on (N, 3, 3) is LAPACK-loop-speed on TPU (it was ~90%
+    # of this kernel); the smallest eigenvector comes from batched
+    # matrix-squaring instead (ops/batched_linalg.py)
+    normals = smallest_eigvec_sym3x3(cov)
     # orient toward origin (viewpoint at 0)
     flip = jnp.sum(normals * points, axis=1, keepdims=True) > 0
     return jnp.where(flip, -normals, normals)
