@@ -386,9 +386,69 @@ def bench_mac(np_mod, iters=5):
     for i in range(iters):
         mac.fw_subset(inits[i], k, max_iters=20)
     dt = (time.perf_counter() - t0) / iters
-    _log(f"mac: {dt*1e3:.1f} ms/solve ({n_poses} poses, {n_cand} candidates, "
+
+    # Device-time slope: chain M jitted _fw_subset solves (distinct
+    # random k-subset inits generated in-graph) in ONE executable so the
+    # relay's per-sync latency cancels — the same proof structure as
+    # bench_pgo's. Wall - device is then checked against the measured
+    # relay sync floor in main().
+    dt_dev = None
+    try:
+        import functools as _ft
+
+        import jax
+        import jax.numpy as jnp
+        from cslam_tpu.sparsification.mac import _fw_subset
+
+        @_ft.partial(jax.jit, static_argnames=("m",))
+        def chain(m, keys):
+            def step(acc, key):
+                u = jax.random.uniform(key, mac._valid_d.shape) \
+                    * mac._valid_d
+                kth = jax.lax.top_k(u, k)[0][-1]
+                w0 = (u >= kth).astype(jnp.float32)
+                wr, w, _u = _fw_subset(
+                    mac.L_fixed, mac._e_i_d, mac._e_j_d, mac._weights_d,
+                    mac._valid_d, mac.node_mask, w0, jnp.float32(1e-8),
+                    mac._fixed_i, mac._fixed_j, mac._fixed_w, k=k,
+                    max_iters=20, num_nodes=mac._P,
+                    fiedler_method=mac.fiedler_method,
+                    lobpcg_iters=mac.lobpcg_iters,
+                    lobpcg_block=mac.lobpcg_block)
+                return acc + wr + w, None
+            acc, _ = jax.lax.scan(
+                step, jnp.zeros_like(mac._valid_d), keys[:m])
+            return acc
+
+        k1, k2, reps = 4, 12, 3
+        for m in (k1, k2):
+            np.asarray(chain(m, jax.random.split(jax.random.PRNGKey(7), m)))
+        slopes = []
+        for r in range(reps):
+            ks1 = jax.block_until_ready(
+                jax.random.split(jax.random.PRNGKey(2 * r), k1))
+            ks2 = jax.block_until_ready(
+                jax.random.split(jax.random.PRNGKey(2 * r + 1), k2))
+            t0 = time.perf_counter()
+            np.asarray(chain(k1, ks1))
+            t1 = time.perf_counter()
+            np.asarray(chain(k2, ks2))
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        slopes.sort()
+        dt_dev = slopes[len(slopes) // 2]
+        if dt_dev <= 0:
+            _log(f"mac device-slope non-positive ({dt_dev*1e3:.2f} ms) — "
+                 "chain delta below relay jitter; discarded")
+            dt_dev = None
+    except Exception as exc:
+        _log(f"mac device-slope failed: {type(exc).__name__}: "
+             f"{str(exc)[:100]}")
+    _log(f"mac: {dt*1e3:.1f} ms wall"
+         + (f" / {dt_dev*1e3:.1f} ms device" if dt_dev else "")
+         + f" per solve ({n_poses} poses, {n_cand} candidates, "
          f"budget {k}, 20 FW iters)")
-    return dt
+    return dt, dt_dev
 
 
 def bench_pgo(iters=3, n=1000):
@@ -771,7 +831,7 @@ def main():
     relay_floor = bench_relay_sync_floor()
     qps, knn_detail = bench_knn(jnp, knn)
     knn_1m = bench_knn_1m(jnp)
-    mac_dt = bench_mac(np)
+    mac_dt, mac_dev = bench_mac(np)
     pgo_dt, pgo_dev = bench_pgo(n=1000)  # PCG path (6P > dense threshold)
     pgo_500_dt, pgo_500_dev = bench_pgo(n=500)  # also PCG (padded 512)
     hot = bench_hot_loops()
@@ -781,7 +841,8 @@ def main():
     # per-call host fat left to cut (the floor itself is relay latency,
     # not framework cost — a local TPU host pays ~0.1 ms instead).
     gap_checks = {}
-    for name, wall, dev in (("pgo_500", pgo_500_dt, pgo_500_dev),
+    for name, wall, dev in (("mac_500", mac_dt, mac_dev),
+                            ("pgo_500", pgo_500_dt, pgo_500_dev),
                             ("pgo_1000", pgo_dt, pgo_dev)):
         if dev:
             gap = (wall - dev) * 1e3
@@ -799,6 +860,8 @@ def main():
         "knn_roofline": knn_detail,
         "knn_1m_rows": knn_1m,
         "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
+        "mac_device_ms_500poses_200cand": (mac_dev * 1e3
+                                           if mac_dev else None),
         "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
         "pgo_gnc_lm_solve_ms_500poses": pgo_500_dt * 1e3,
         "pgo_device_ms_1000poses": pgo_dev * 1e3 if pgo_dev else None,
