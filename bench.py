@@ -700,6 +700,40 @@ def bench_hot_loops():
         _log(f"verify_batch bench failed: "
              f"{type(exc).__name__}: {str(exc)[:100]}")
 
+    # --- lidar registration: GNC-TLS ICP on 1024-pt clouds ------------
+    # (SURVEY §3.5 analog of the TEASER+ICP pair cost,
+    # icp_utils.py:99-135 "tens of ms per pair" on CPU)
+    from cslam_tpu.ops.registration import gnc_icp
+    NP_ = 1024
+
+    def make_clouds(seed):
+        r = np.random.default_rng(seed)
+        src = (r.standard_normal((NP_, 3)) * [5.0, 5.0, 1.0]
+               ).astype(np.float32)
+        ang = 0.3
+        Rz = np.asarray([[np.cos(ang), -np.sin(ang), 0],
+                         [np.sin(ang), np.cos(ang), 0],
+                         [0, 0, 1]], np.float32)
+        dst = (src @ Rz.T + np.asarray([1.0, 0.5, 0.1], np.float32)
+               + 0.01 * r.standard_normal((NP_, 3))).astype(np.float32)
+        mask = np.ones((NP_,), np.float32)
+        return tuple(jnp.asarray(a) for a in (
+            src, mask, dst, mask, np.eye(3, dtype=np.float32),
+            np.zeros(3, np.float32)))
+
+    def icp_step(x):
+        src, m0, dst, m1, R0, t0 = x
+        res = gnc_icp(src, m0, dst, m1, R0, t0)
+        return jnp.stack([jnp.sum(res.R), jnp.sum(res.t), res.rmse,
+                          res.inlier_frac, jnp.sum(res.cov_diag)])
+
+    try:
+        dt = _slope_generic(icp_step, make_clouds, k1=8, k2=24)
+        out["icp_register_ms"] = dt * 1e3
+        _log(f"icp: {dt*1e3:.3f} ms/cloud-pair ({NP_} pts, GNC-TLS ICP)")
+    except Exception as exc:
+        _log(f"icp bench failed: {type(exc).__name__}: {str(exc)[:100]}")
+
     # --- scancontext: query vs 256 candidates, all 60 shifts ----------
     NC, NR, NS = 256, 20, 60
     cands = jnp.asarray(rng.random((NC, NR, NS)), jnp.float32)
