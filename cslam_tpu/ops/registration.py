@@ -148,6 +148,11 @@ def nearest_neighbors(src, src_mask, dst, dst_mask):
     d2 = jnp.where(dst_mask[None, :] > 0, d2, jnp.inf)
     idx = jnp.argmin(d2, axis=1)
     best = jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0]
+    # the expanded form cancels catastrophically for (near-)exact
+    # matches and can go slightly NEGATIVE — an exact alignment then
+    # makes sqrt(mean d2) NaN downstream (bitten when horn_rotation
+    # started landing R exactly)
+    best = jnp.maximum(best, 0.0)
     best = jnp.where(src_mask > 0, best, jnp.inf)
     return idx, best
 
