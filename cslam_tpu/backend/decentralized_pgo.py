@@ -106,6 +106,9 @@ class DecentralizedPGO:
         # local graph state
         self.odometry_pose_estimates: Dict[Tuple[int, int], Pose] = {}
         self.current_pose_estimates: Dict[Tuple[int, int], Pose] = {}
+        # full-graph values of the last successful solve, keyed like the
+        # factor graph — the warm-start init source (_apply_warm_start)
+        self.last_optimized_values: Dict[Tuple[int, int], Pose] = {}
         self.local_factors: List[BetweenFactor] = []
         self.inter_robot_loop_closures: Dict[Tuple[int, int],
                                              List[BetweenFactor]] = {}
@@ -430,11 +433,50 @@ class DecentralizedPGO:
             self.logger.log_info("mean_loop_closure_error",
                                  float(loop_errors.mean()))
 
+    def _apply_warm_start(self, fg: FactorGraph):
+        """Initialize the solve from the previous optimization's values.
+
+        The reference re-solves from raw odometry every round
+        (aggregate_pose_graphs fills Values from odometry,
+        decentralized_pgo.cpp:602-681). In mission steady state the graph
+        changes only by a few keyframes/loop closures per round, so the
+        previous solution is a near-optimal init: poses seen last round
+        keep their optimized values; NEW poses chain the current
+        odometry delta off the nearest preceding warm pose of the same
+        robot (init = warm_anchor o (odom_anchor^-1 o odom_new)), so the
+        init stays continuous across the seam. Only the initialization
+        changes — factors, GNC weights, and convergence gates are
+        untouched, and LM falls back gracefully if the stored solution
+        is stale (it is only an init). Disable with
+        backend.warm_start_optimization: false."""
+        warm = self.last_optimized_values
+        if not warm:
+            return
+        by_robot: Dict[int, list] = {}
+        for key in fg.key_to_index:
+            by_robot.setdefault(key[0], []).append(key)
+        for keys in by_robot.values():
+            keys.sort()
+            anchor = None  # ((R_odom, t_odom), (R_warm, t_warm)) at key
+            for key in keys:
+                idx = fg.key_to_index[key]
+                odom = (fg.R[idx].copy(), fg.t[idx].copy())
+                if key in warm:
+                    fg.add_node(key, *warm[key])
+                    anchor = (odom, warm[key])
+                elif anchor is not None:
+                    (Ro, to), (Rw, tw) = anchor
+                    Rrel = Ro.T @ odom[0]
+                    trel = Ro.T @ (odom[1] - to)
+                    fg.add_node(key, Rw @ Rrel, Rw @ trel + tw)
+
     def start_optimization(self):
         fg = self.aggregate_pose_graphs()
         first_key = (self.robot_id, 0)
         if first_key not in self.current_pose_estimates:
             return
+        if self.params.get("backend.warm_start_optimization", True):
+            self._apply_warm_start(fg)
         R0, t0 = self.current_pose_estimates[first_key]
         fg.set_prior(first_key, R0, t0)
         if self.logger is not None:
@@ -452,6 +494,12 @@ class DecentralizedPGO:
         self._optimization_future = None
         self.optimization_count += 1
         if result is not None:
+            # full-graph snapshot for next round's warm start (the solver
+            # wrote the optimized estimates back into fg)
+            self.last_optimized_values = {
+                key: (fg.R[idx].copy(), fg.t[idx].copy())
+                for key, idx in fg.key_to_index.items()
+            }
             self.share_optimized_estimates(fg)
         self._sm.on_optimization_done()
 

@@ -99,6 +99,10 @@ class BackendConfig:
     cg_max_iters: int = 100
     cg_tol: float = 1e-6
     prior_sigma: float = 1e-4  # gauge prior on first own pose
+    # init each solve from the previous round's optimized values
+    # (odometry-delta-chained for new poses); the reference re-solves
+    # from raw odometry every round
+    warm_start_optimization: bool = True
 
 
 @dataclass

@@ -88,8 +88,8 @@ class Swarm:
                 robot1_keyframe_id=k1, success=True, pose=(Rrel, trel)))
         self.router.spin_until_idle()
 
-    def tick(self, rounds=30):
-        """Drive the protocol until optimization completes."""
+    def tick(self, rounds=30, min_total=1):
+        """Drive the protocol until `min_total` optimizations completed."""
         import time
         for _ in range(rounds):
             for be in self.backends.values():
@@ -106,7 +106,8 @@ class Swarm:
                     be._optimization_future.result(timeout=120)
                 be.check_result_and_finish_optimization()
             self.router.spin_until_idle()
-            if any(be.optimization_count > 0 for be in self.backends.values()):
+            if any(be.optimization_count >= min_total
+                   for be in self.backends.values()):
                 for be in self.backends.values():
                     be.optimization_loop_callback()
                 self.router.spin_until_idle()
@@ -193,3 +194,95 @@ def test_waiting_timeout_returns_to_idle():
     swarm.clock.advance(2.0)
     be.optimization_loop_callback()
     assert be.optimizer_state == OptimizerState.IDLE
+
+
+def test_warm_start_mechanics():
+    """_apply_warm_start: previously-solved keys take their optimized
+    values exactly; new keys chain the odometry delta off the nearest
+    preceding warm pose of the same robot."""
+    from cslam_tpu.ops import se3 as _se3
+
+    rng = np.random.default_rng(7)
+    swarm = Swarm(1, rng, n_poses=6)
+    swarm.feed_odometry()
+    be = swarm.backends[0]
+    fg = be.aggregate_pose_graphs()
+    # pretend keys 0..3 were optimized to slightly-moved values
+    warm = {}
+    for k in range(4):
+        idx = fg.key_to_index[(0, k)]
+        warm[(0, k)] = (fg.R[idx].copy(),
+                        fg.t[idx] + np.float32([0.5, -0.2, 0.1]))
+    be.last_optimized_values = warm
+    # odometry values before warm start (for the delta check)
+    odo = {k: (fg.R[fg.key_to_index[(0, k)]].copy(),
+               fg.t[fg.key_to_index[(0, k)]].copy()) for k in range(6)}
+    be._apply_warm_start(fg)
+    for k in range(4):
+        idx = fg.key_to_index[(0, k)]
+        np.testing.assert_allclose(fg.t[idx], warm[(0, k)][1], atol=1e-6)
+    # keys 4, 5: warm(3) o (odom(3)^-1 o odom(k))
+    Ro, to = odo[3]
+    Rw, tw = warm[(0, 3)]
+    for k in (4, 5):
+        Rrel = Ro.T @ odo[k][0]
+        trel = Ro.T @ (odo[k][1] - to)
+        idx = fg.key_to_index[(0, k)]
+        np.testing.assert_allclose(fg.R[idx], Rw @ Rrel, atol=1e-6)
+        np.testing.assert_allclose(fg.t[idx], Rw @ trel + tw, atol=1e-6)
+
+
+def test_warm_start_second_round_matches_cold():
+    """Two optimization rounds with new keyframes in between: the
+    warm-started second solve reaches the same quality as a cold solve
+    of the identical graph (warm start changes only the init)."""
+    results = {}
+    for warm in (True, False):
+        rng = np.random.default_rng(11)
+        noise_rng = np.random.default_rng(12)
+        swarm = Swarm(2, rng)
+        for be in swarm.backends.values():
+            be.params["backend.warm_start_optimization"] = warm
+        swarm.feed_odometry(noise_rng=noise_rng)
+        for k in (1, 4, 7):
+            swarm.add_inter_loop_closure(0, k, 1, k)
+        swarm.tick()
+        assert swarm.backends[0].optimization_count == 1
+        if warm:
+            assert swarm.backends[0].last_optimized_values, \
+                "warm snapshot missing after first solve"
+        # extend both trajectories by 3 keyframes + close a new loop
+        ext_rng = np.random.default_rng(13)
+        for rid in range(2):
+            Rs, ts = swarm.gt[rid]
+            R, t = Rs[-1].copy(), ts[-1].copy()
+            for k in range(8, 11):
+                xi = ext_rng.standard_normal(6).astype(np.float32)
+                xi[:3] *= 0.05
+                xi[3:] *= 0.4
+                dR, dt = _exp(xi)
+                t = R @ dt + t
+                R = R @ dR
+                Rs = np.concatenate([Rs, R[None]])
+                ts = np.concatenate([ts, t[None]])
+                tn = t + ext_rng.standard_normal(3).astype(np.float32) * 0.05
+                swarm.buses[rid].publish(
+                    "cslam/keyframe_odom",
+                    msgs.KeyframeOdom(id=k, pose=(R, tn)))
+            swarm.gt[rid] = (Rs, ts)
+        swarm.router.spin_until_idle()
+        swarm.add_inter_loop_closure(0, 9, 1, 9)
+        swarm.tick(min_total=2)
+        assert swarm.backends[0].optimization_count == 2
+        est = swarm.backends[1].current_pose_estimates
+        Rs1, ts1 = swarm.gt[1]
+        errs = [np.linalg.norm(est[(1, k)][1] - ts1[k]) for k in range(11)]
+        results[warm] = float(np.mean(errs))
+    assert results[True] < 0.2, results
+    # same quality as cold (init-only change)
+    assert results[True] <= results[False] + 0.05, results
+
+
+def _exp(xi):
+    dR, dt = se3.se3_exp(jnp.asarray(xi))
+    return np.asarray(dR), np.asarray(dt)
