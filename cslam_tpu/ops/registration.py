@@ -157,19 +157,27 @@ def nearest_neighbors(src, src_mask, dst, dst_mask):
     return idx, best
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "gnc_steps"))
+@functools.partial(jax.jit, static_argnames=("max_iters", "gnc_steps",
+                                              "iters_per_level"))
 def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
             max_corr_dist=1.0, max_iters=30, gnc_steps=10,
-            fitness_threshold=0.3, step_tol=1e-4):
+            fitness_threshold=0.3, step_tol=1e-4, iters_per_level=5):
     """Robust point-to-point ICP.
 
     Args:
       src, dst: (N, 3) / (M, 3) padded clouds with (N,), (M,) masks.
       R_init, t_init: initial guess (e.g. from Scan Context yaw).
       max_corr_dist: TLS inlier scale c (meters).
-      max_iters: ICP iteration cap per GNC level (the loop exits when
-        the update step falls below step_tol — warm-started levels
-        typically take 1-5 iterations).
+      iters_per_level: ICP iteration cap per GNC continuation level.
+        Small on purpose: at soft mu the TLS weights respond to every
+        correspondence change and the iteration OSCILLATES at a
+        ~1e-2 step size instead of converging — measured traces show
+        the early levels burning any cap you give them while the pose
+        barely moves, which made the default solve cost 10x its useful
+        work. GNC only needs each level to move the pose toward the
+        next basin, not converge.
+      max_iters: cap for the FINAL refinement pass at the hardest mu
+        (step-gated; converged solves exit in a few iterations).
       gnc_steps: GNC continuation levels (mu *= 1.4 each).
       step_tol: convergence threshold on ||dR||_F + ||dt|| (1e-4:
         ~0.1 mm/step — far below scan noise at voxel-scale data).
@@ -187,16 +195,13 @@ def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
         return jnp.where(r_sq >= ub, 0.0,
                          jnp.where(r_sq <= lb, 1.0, jnp.clip(mid, 0.0, 1.0)))
 
-    def icp_at(mu, R, t):
-        # Convergence-gated: a fixed fori_loop burned max_iters NN
-        # matrices per GNC level (300 total at the defaults) when warm-
-        # started ICP converges in 1-5 steps per level — measured 10x
-        # of the lidar mission's wall clock. The exit test is the step
-        # size itself (Frobenius dR + dt norm), cheap relative to one
+    def icp_at(mu, R, t, iter_cap):
+        # Convergence-gated with a cap. The exit test is the step size
+        # itself (Frobenius dR + dt norm), cheap relative to one
         # (N, M) NN pass.
         def cond(carry):
             _, _, delta, it = carry
-            return (it < max_iters) & (delta > step_tol)
+            return (it < iter_cap) & (delta > step_tol)
 
         def body(carry):
             R, t, _, it = carry
@@ -216,12 +221,14 @@ def gnc_icp(src, src_mask, dst, dst_mask, R_init, t_init,
 
     def gnc_body(k, carry):
         R, t, mu = carry
-        R, t = icp_at(mu, R, t)
+        R, t = icp_at(mu, R, t, iters_per_level)
         return R, t, mu * 1.4
 
     # mu small = soft (near-convex), growing toward hard TLS
-    R, t, _ = jax.lax.fori_loop(
+    R, t, mu = jax.lax.fori_loop(
         0, gnc_steps, gnc_body, (R_init, t_init, jnp.float32(0.05)))
+    # final refinement at the hardest mu, run to convergence
+    R, t = icp_at(mu, R, t, max_iters)
 
     moved = src @ R.T + t
     idx, d2 = nearest_neighbors(moved, src_mask, dst, dst_mask)
