@@ -318,10 +318,12 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     path = args.data
-    if os.path.isdir(path):  # sequence dir: poses.txt or <seq>.txt inside
-        for cand in ("poses.txt", "00.txt"):
+    if os.path.isdir(path):  # sequence dir: KITTI poses or TUM groundtruth
+        for cand in ("poses.txt", "00.txt", "groundtruth.txt"):
             if os.path.exists(os.path.join(path, cand)):
                 path = os.path.join(path, cand)
+                if cand == "groundtruth.txt":  # TUM layout
+                    args.format = "tum"
                 break
     if args.format == "tum":
         _, R, t = datasets.load_tum_trajectory(path)

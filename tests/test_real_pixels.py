@@ -216,3 +216,17 @@ def test_cosplace_separates_revisit_on_real_pixels(seq):
     sim_far = float(e[0] @ e[7])
     assert sim_revisit > sim_far + 0.05, (sim_revisit, sim_far)
     assert sim_revisit > 0.9
+
+
+@pytest.mark.skipif(not zoo.shipped_checkpoint("netvlad_synth.npz"),
+                    reason="no shipped netvlad weights")
+def test_netvlad_separates_revisit_on_real_pixels(seq):
+    """The shipped NetVLAD weights (trained on rendered worlds) must
+    also rank the true revisit above a different place on real
+    photographs — the same out-of-domain gate as CosPlace's."""
+    from cslam_tpu.models.netvlad import NetVLAD
+    nv = NetVLAD({"frontend.nn_checkpoint": "shipped"})
+    e = {i: nv.compute_embedding(seq.frame(i)) for i in (0, 7, 14)}
+    sim_revisit = float(e[0] @ e[14])
+    sim_far = float(e[0] @ e[7])
+    assert sim_revisit > sim_far + 0.02, (sim_revisit, sim_far)
