@@ -700,6 +700,66 @@ def bench_hot_loops():
         _log(f"verify_batch bench failed: "
              f"{type(exc).__name__}: {str(exc)[:100]}")
 
+    # --- learned extraction + matching (the reference's per-frame ONNX
+    # SuperPoint inference and LightGlue verification matching,
+    # rgbd_handler.cpp:292 and :687; shipped self-trained weights) -----
+    try:
+        from cslam_tpu.models import zoo
+        from cslam_tpu.models.lightglue import (LightGlue,
+                                                normalize_keypoints)
+        from cslam_tpu.models.superpoint import SuperPoint
+        from cslam_tpu.models.superpoint import extract as sp_extract
+
+        sp_ckpt = zoo.shipped_checkpoint("superpoint_synth.npz")
+        lg_ckpt = zoo.shipped_checkpoint("lightglue_synth.npz")
+        if sp_ckpt and lg_ckpt:
+            HH, WW, KK = 192, 256, 256
+            sp = SuperPoint(checkpoint=sp_ckpt, max_keypoints=KK)
+
+            def make_img(seed):
+                r = np.random.default_rng(seed)
+                return (jnp.asarray(r.random((HH, WW)), jnp.float32),)
+
+            def sp_step(x):
+                xy, desc, scores, mask = sp_extract(
+                    sp.variables, sp._apply, x[0], max_keypoints=KK)
+                return jnp.stack([jnp.sum(xy), jnp.sum(desc),
+                                  jnp.sum(scores), jnp.sum(mask)])
+
+            dt = _slope_generic(sp_step, make_img, k1=16, k2=48)
+            out["superpoint_extract_ms"] = dt * 1e3
+            _log(f"superpoint: {dt*1e3:.3f} ms/frame "
+                 f"({HH}x{WW}, {KK} keypoints)")
+
+            lg = LightGlue(checkpoint=lg_ckpt,
+                           num_layers=zoo.SHIPPED_LIGHTGLUE_LAYERS)
+
+            def make_lg(seed):
+                r = np.random.default_rng(seed)
+                d0 = r.standard_normal((KK, 256)).astype(np.float32)
+                d1 = (d0 + 0.1 * r.standard_normal((KK, 256))
+                      ).astype(np.float32)
+                xy = r.random((KK, 2)).astype(np.float32) * [WW, HH]
+                m = np.ones(KK, np.float32)
+                size = np.asarray([WW, HH], np.float32)
+                return tuple(jnp.asarray(a) for a in
+                             (d0, xy, m, d1, xy + 1.5, m, size))
+
+            def lg_step(x):
+                d0, xy0, m0, d1, xy1, m1, size = x
+                scores = lg._apply(
+                    lg.variables, d0, normalize_keypoints(xy0, size), m0,
+                    d1, normalize_keypoints(xy1, size), m1)
+                return jnp.stack([jnp.sum(scores), jnp.max(scores)])
+
+            dt = _slope_generic(lg_step, make_lg, k1=16, k2=48)
+            out["lightglue_match_ms"] = dt * 1e3
+            _log(f"lightglue: {dt*1e3:.3f} ms/pair ({KK} kp, "
+                 f"{zoo.SHIPPED_LIGHTGLUE_LAYERS} layers)")
+    except Exception as exc:
+        _log(f"learned-model bench failed: "
+             f"{type(exc).__name__}: {str(exc)[:100]}")
+
     # --- lidar registration: GNC-TLS ICP on 1024-pt clouds ------------
     # (SURVEY §3.5 analog of the TEASER+ICP pair cost,
     # icp_utils.py:99-135 "tens of ms per pair" on CPU)
