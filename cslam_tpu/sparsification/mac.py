@@ -99,6 +99,42 @@ def _fiedler_dense(L, node_mask):
     return vals[0], vecs[:, 0]
 
 
+def _fiedler_dense_squaring(L, node_mask, squarings=16):
+    """(lambda_2, v_2) by iterated matrix squaring — no eigh.
+
+    Same shifted/deflated matrix as _fiedler_dense, but the smallest
+    eigenpair is extracted as the DOMINANT eigenpair of
+    sigma*I - L_shifted via `squarings` renormalized squarings (dense
+    P x P matmuls — pure MXU work; a vmapped jnp.linalg.eigh runs at
+    LAPACK-loop speed and dominated the whole MAC solve). lambda_2 is
+    the Rayleigh quotient of the extracted vector on L_shifted, so the
+    estimate is one-sided (>= the true lambda_2); measured worst
+    relative error at float32 over MAC-shaped graphs (long chains =
+    slowest spectra) is ~9e-4 at squarings>=16. Chains need the high
+    count: their (lambda_3-lambda_2)/sigma is ~1e-4, so 2^16 doublings
+    are what push the mixing below float32 noise."""
+    n_real = jnp.maximum(jnp.sum(node_mask), 1.0)
+    max_deg = jnp.max(jnp.diag(L))
+    c = 2.0 * max_deg + 1.0
+    big = 2.0 * max_deg + 2.0
+    L_shifted = (L + (c / n_real) * jnp.outer(node_mask, node_mask) +
+                 jnp.diag((1.0 - node_mask) * big))
+    P = L.shape[0]
+    sigma = 2.0 * max_deg + 3.0  # > lam_max(L_shifted) <= 2*max_deg + 2
+    M = sigma * jnp.eye(P, dtype=L.dtype) - L_shifted
+    M = M / jnp.maximum(jnp.linalg.norm(M), 1e-30)
+
+    def body(_, Mk):
+        Mk = Mk @ Mk
+        return Mk / jnp.maximum(jnp.linalg.norm(Mk), 1e-30)
+
+    M = jax.lax.fori_loop(0, squarings, body, M)
+    col = jnp.argmax(jnp.sum(M * M, axis=0))
+    v = M @ jax.nn.one_hot(col, P, dtype=M.dtype)
+    v = v / jnp.maximum(jnp.linalg.norm(v), 1e-30)
+    return v @ (L_shifted @ v), v
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes",
                                              "fiedler_method",
                                              "lobpcg_iters", "lobpcg_block"))
@@ -197,21 +233,27 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
     # Rounding safeguard: FW with inexact (warm-lobpcg) gradients can
     # land on a selection whose true lambda_2 is up to ~3-6x below the
     # exact-gradient run's on clustered spectra (long chains: measured
-    # rel 0.15-0.38 on some inits). Exactly evaluate the FW rounding
-    # AND the greedy-by-weight rounding with one batched deflated eigh
-    # and return the better — bounded cost (2 eigh vs 20 in-loop ones),
-    # and the solve is provably never worse than greedy top-k, the
-    # reference's own initialization (a_c_m.py zero-budget greedy).
+    # rel 0.15-0.38 on some inits). Evaluate the FW rounding AND the
+    # greedy-by-weight rounding and return the better. The evaluation is
+    # the matrix-squaring Fiedler pair, NOT eigh: a vmapped (2, P, P)
+    # eigh was ~18 ms of a 28 ms solve at P=512 (the batched-LAPACK
+    # pathology), the squaring evaluation is plain MXU matmuls. Its
+    # estimates carry <=~1e-3 one-sided relative error, so FW must beat
+    # greedy by a 3e-3 margin to be picked — near-ties fall back to
+    # greedy, preserving the never-worse-than-greedy contract (greedy
+    # top-k is the reference's own initialization, a_c_m.py zero-budget
+    # greedy).
     if fiedler_method != "matfree" and k > 0:
         w_greedy = round_topk(weights)
 
-        def exact_lam2(sel):
+        def rounding_lam2(sel):
             L = L_fixed + laplacian_from_incidence(B, sel * weights)
-            lam2, _ = _fiedler_dense(L, node_mask)
+            lam2, _ = _fiedler_dense_squaring(L, node_mask)
             return lam2
 
-        lam2s = jax.vmap(exact_lam2)(jnp.stack([w_rounded, w_greedy]))
-        w_rounded = jnp.where(lam2s[0] >= lam2s[1], w_rounded, w_greedy)
+        lam2s = jax.vmap(rounding_lam2)(jnp.stack([w_rounded, w_greedy]))
+        w_rounded = jnp.where(lam2s[0] > lam2s[1] * 1.003, w_rounded,
+                              w_greedy)
     return w_rounded, w, u
 
 

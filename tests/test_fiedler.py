@@ -87,3 +87,41 @@ def test_lobpcg_fiedler_matches_dense():
         L[b, a] -= ww
     vals, vecs = np.linalg.eigh(L)
     np.testing.assert_allclose(float(lam2_l), vals[1], rtol=5e-2)
+
+
+def test_fiedler_dense_squaring_matches_eigh():
+    """The LAPACK-free matrix-squaring Fiedler evaluation agrees with
+    the eigh path on MAC-shaped graphs (chains + random candidates —
+    chains are the slowest-converging spectra), one-sided within ~1e-3."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cslam_tpu.sparsification.mac import (_fiedler_dense,
+                                              _fiedler_dense_squaring)
+
+    rng = np.random.default_rng(0)
+    for trial in range(12):
+        P = int(rng.choice([64, 128, 512]))
+        n_real = P - int(rng.integers(0, P // 4))
+        mask = np.zeros(P, np.float32)
+        mask[:n_real] = 1.0
+        L = np.zeros((P, P), np.float32)
+
+        def add(i, j, w):
+            L[i, i] += w
+            L[j, j] += w
+            L[i, j] -= w
+            L[j, i] -= w
+
+        for i in range(n_real - 1):
+            add(i, i + 1, 1.0)
+        for _ in range(int(rng.integers(3, 60))):
+            i, j = rng.integers(0, n_real, 2)
+            if i != j:
+                add(i, j, float(rng.random()))
+        l_sq, v_sq = _fiedler_dense_squaring(jnp.asarray(L),
+                                             jnp.asarray(mask))
+        l_eig, _ = _fiedler_dense(jnp.asarray(L), jnp.asarray(mask))
+        l_sq, l_eig = float(l_sq), float(l_eig)
+        assert l_sq >= l_eig - 2e-6, (trial, l_sq, l_eig)  # one-sided
+        assert l_sq <= l_eig * 1.002 + 1e-6, (trial, l_sq, l_eig)
+        assert float(jnp.linalg.norm(v_sq)) == pytest.approx(1.0, abs=1e-4)
