@@ -127,9 +127,16 @@ class GlobalDescriptors(Message):
     descriptors: List[GlobalDescriptor] = field(default_factory=list)
     quantization: str = "none"
 
+    def uses_int8_encoding(self) -> bool:
+        """Whether to_bytes() will actually emit the int8 wire format.
+        Mixed descriptor sizes in one chunk silently fall back to the
+        float layout — comm accounting must ask THIS, not the
+        `quantization` request field (advisor round-3 finding)."""
+        return (self.quantization == "int8" and bool(self.descriptors)
+                and len({d.descriptor.size for d in self.descriptors}) == 1)
+
     def to_bytes(self):
-        if self.quantization == "int8" and self.descriptors and len(
-                {d.descriptor.size for d in self.descriptors}) == 1:
+        if self.uses_int8_encoding():
             return self._to_bytes_int8()
         buf = io.BytesIO()
         buf.write(struct.pack("<I", len(self.descriptors)))

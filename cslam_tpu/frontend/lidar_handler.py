@@ -97,7 +97,10 @@ class LidarHandler:
         # on every level — measured 4x of the lidar mission's
         # verification wall time.
         self.icp_iters_per_level = params.get(
-            "frontend.icp_max_iters_per_level", 12)
+            "frontend.icp_max_iters_per_level", 5)
+        # Separate cap for the FINAL step-gated refinement at the
+        # hardest mu (converged solves exit early regardless).
+        self.icp_max_iters = params.get("frontend.icp_max_iters", 12)
 
     # ------------------------------------------------------------------
     def add_sensor_data(self, points: np.ndarray,
@@ -190,7 +193,8 @@ class LidarHandler:
             result = registration.gnc_icp(
                 src_j, sm_j, dst_j, dm_j, R0, t0,
                 max_corr_dist=2.0 * self.voxel_size,
-                max_iters=self.icp_iters_per_level)
+                max_iters=self.icp_max_iters,
+                iters_per_level=self.icp_iters_per_level)
             if best is None or \
                     (float(result.inlier_frac), -float(result.rmse)) > \
                     (float(best.inlier_frac), -float(best.rmse)):

@@ -170,8 +170,11 @@ class GlobalDescriptorLoopClosureDetection:
             self.global_descriptor_publisher.publish(out)
             dim = len(chunk[0].descriptor)
             # reference accounting is 4 B/float (g_d_l_c_d.py:210-214);
-            # int8 gossip ships 1 B/element + 16 B ids/scale/min
-            per_desc = dim + 16 if quant == "int8" else dim * 4
+            # int8 gossip ships 1 B/element + 16 B ids/scale/min.
+            # Ask the message which encoding it will ACTUALLY emit —
+            # mixed-size chunks silently fall back to the float layout
+            # and would otherwise undercount ~4x.
+            per_desc = dim + 16 if out.uses_int8_encoding() else dim * 4
             self.log_detection_cumulative_communication += (
                 len(chunk) * per_desc)
         self.delete_useless_descriptors()

@@ -106,9 +106,15 @@ def smallest_eigvec_sym3x3(M, squarings=10):
         n2 = jnp.sqrt(jnp.sum(B * B, axis=(-2, -1), keepdims=True))
         B = B / jnp.maximum(n2, 1e-30)
     colnorm = jnp.sum(B * B, axis=-2)                     # (..., 3)
-    onehot = (colnorm == jnp.max(colnorm, axis=-1,
+    # argmax one-hot, NOT equality-tie averaging: for rank-1 B ~ u u^T
+    # the tied max-norm columns are u_i*u and u_j*u, ANTI-parallel when
+    # u_i = -u_j (normals along (1,-1,0)/sqrt(2) on grid-aligned
+    # clouds) — their sum cancels to ~0 and the clamped normalization
+    # returns noise. Same extraction as horn_rotation.
+    onehot = (colnorm >= jnp.max(colnorm, axis=-1,
                                  keepdims=True)).astype(M.dtype)
-    # ties (isotropic case) average parallel columns — still a valid pick
+    first = jnp.cumsum(onehot, axis=-1) <= 1.0
+    onehot = onehot * first.astype(M.dtype)
     v = jnp.einsum("...ij,...j->...i", B, onehot)
     return v / jnp.maximum(
         jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30)

@@ -81,3 +81,21 @@ def test_smallest_eigvec_sym3x3_matches_eigh():
     vz = np.asarray(smallest_eigvec_sym3x3(jnp.zeros((1, 3, 3))))
     assert np.isfinite(vz).all()
     np.testing.assert_allclose(np.linalg.norm(vz[0]), 1.0, atol=1e-5)
+
+
+def test_smallest_eigvec_antiparallel_tie():
+    """Rank-1 dominant subspace B ~ u u^T with u_i = -u_j: the tied
+    max-norm columns are ANTI-parallel; equality-tie averaging cancels
+    to ~0 and returned noise (advisor round-3 finding). The argmax-style
+    first-max pick must recover u exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cslam_tpu.ops.batched_linalg import smallest_eigvec_sym3x3
+
+    u = np.array([1.0, -1.0, 0.0], np.float32) / np.sqrt(2)
+    a = np.array([1.0, 1.0, 0.0], np.float32) / np.sqrt(2)
+    b = np.array([0.0, 0.0, 1.0], np.float32)
+    # smallest eigvec of M is u (eigenvalue 0)
+    M = 2.0 * np.outer(a, a) + 1.0 * np.outer(b, b)
+    v = np.asarray(smallest_eigvec_sym3x3(jnp.asarray(M[None])))[0]
+    assert abs(abs(v @ u) - 1.0) < 1e-3
