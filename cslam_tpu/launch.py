@@ -91,6 +91,25 @@ def robot_main(robot_id: int, args):
         handler = SimSensorHandler(params, bus, world)
         odom_R, odom_t = world.noisy_odometry(robot_id, drift=args.sim_drift)
 
+    # --- crash recovery: restore full SLAM state from a checkpoint ----
+    ckpt_folder = ""
+    resumed_from_kf = None
+    lcs_at_resume = None
+    if getattr(args, "checkpoint_dir", ""):
+        ckpt_folder = os.path.join(args.checkpoint_dir, f"robot{robot_id}")
+    if getattr(args, "resume", False) and ckpt_folder and \
+            os.path.exists(os.path.join(ckpt_folder, "manifest.json")):
+        from cslam_tpu.utils import checkpoint
+        checkpoint.load_node(node, ckpt_folder)
+        own_kfs = [k[1] for k in node.backend.odometry_pose_estimates
+                   if k[0] == robot_id]
+        resumed_from_kf = (max(own_kfs) + 1) if own_kfs else 0
+        lcs_at_resume = len(
+            node.detection.lcm.candidate_selector.fixed_edges)
+        print(f"[r{robot_id}] resumed from checkpoint: "
+              f"{resumed_from_kf} keyframes, {lcs_at_resume} verified "
+              f"loop closures restored", flush=True)
+
     periods = {
         "publication": params["frontend.detection_publication_period_sec"],
         "detection": params["frontend.inter_robot_detection_period_sec"],
@@ -101,9 +120,11 @@ def robot_main(robot_id: int, args):
             params["backend.pose_graph_optimization_loop_period_ms"] / 1e3,
     }
     last = {k: 0.0 for k in periods}
-    next_kf = 0
+    next_kf = resumed_from_kf or 0
     kf_period = args.sim_kf_period
     last_kf = 0.0
+    ckpt_period = getattr(args, "checkpoint_period", 2.0)
+    last_ckpt = 0.0
 
     # per-tick latency + convergence instrumentation (host-scaling
     # measurements: benchmarks/host_scaling_bench.py)
@@ -140,6 +161,10 @@ def robot_main(robot_id: int, args):
                 st[1] += dt
                 st[2] = max(st[2], dt)
                 last[name] = now
+        if ckpt_folder and now - last_ckpt >= ckpt_period:
+            from cslam_tpu.utils import checkpoint
+            checkpoint.save_node_atomic(node, ckpt_folder)
+            last_ckpt = now
         if first_opt_time is None and \
                 node.backend.optimization_count > 0:
             first_opt_time = time.monotonic() - start
@@ -170,6 +195,8 @@ def robot_main(robot_id: int, args):
             "optimized_estimates": n_est,
             "comm_tx_bytes": bus.sent_bytes,
             "comm_rx_bytes": bus.received_bytes,
+            "resumed_from_keyframe": resumed_from_kf,
+            "verified_loop_closures_at_resume": lcs_at_resume,
             "gossip_comm_bytes":
                 node.detection.log_detection_cumulative_communication,
             "first_loop_closure_s": first_lc_time,
@@ -257,6 +284,13 @@ def main(argv=None):
     parser.add_argument("--robot-id", type=int, default=-1,
                         help="run a single robot in this process "
                              "(multi-host deployment)")
+    parser.add_argument("--checkpoint-dir", type=str, default="",
+                        help="periodically checkpoint full SLAM state "
+                             "into <dir>/robot<id> (crash recovery)")
+    parser.add_argument("--checkpoint-period", type=float, default=2.0)
+    parser.add_argument("--resume", action="store_true",
+                        help="restore state from --checkpoint-dir at "
+                             "startup if a checkpoint exists")
     args = parser.parse_args(argv)
 
     if args.robot_id >= 0:

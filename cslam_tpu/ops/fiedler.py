@@ -51,9 +51,10 @@ def fiedler_pair_dense(L, node_mask):
     return vals[1], vecs[:, 1]
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "block_size"))
+@functools.partial(jax.jit, static_argnames=("num_iters", "block_size",
+                                             "return_block"))
 def fiedler_pair_lobpcg(e_i, e_j, weights, node_mask, num_iters=100,
-                        block_size=4):
+                        block_size=4, X0=None, return_block=False):
     """Matrix-free Fiedler pair via LOBPCG on B = sigma*I_real - L.
 
     The largest eigenvalues of B (on the subspace orthogonal to the
@@ -61,6 +62,12 @@ def fiedler_pair_lobpcg(e_i, e_j, weights, node_mask, num_iters=100,
     We deflate the constant vector analytically by projecting every
     candidate block, and give padded nodes eigenvalue -sigma in B so they
     never surface. Suitable for P beyond the dense-eigh crossover.
+
+    X0: optional (P, block_size) warm-start block — a converged block
+    from a one-edge-different graph cuts the iterations needed ~3-6x
+    (eigenvector continuity; used by MAC's matfree swap refinement).
+    return_block: also return the converged (P, block_size) block for
+    warm-starting the next call.
     """
     from jax.experimental.sparse.linalg import lobpcg_standard
 
@@ -78,10 +85,13 @@ def fiedler_pair_lobpcg(e_i, e_j, weights, node_mask, num_iters=100,
         BX = sigma * X * node_mask[:, None] - LX
         return BX - ones[:, None] * (ones @ BX)[None, :]
 
-    key = jax.random.PRNGKey(7)
-    X0 = jax.random.normal(key, (P, block_size), dtype=jnp.float32)
+    if X0 is None:
+        key = jax.random.PRNGKey(7)
+        X0 = jax.random.normal(key, (P, block_size), dtype=jnp.float32)
     X0 = X0 * node_mask[:, None]
     X0 = X0 - ones[:, None] * (ones @ X0)[None, :]
     theta, U, _ = lobpcg_standard(matvec, X0, m=num_iters)
     lam2 = sigma - theta[0]
+    if return_block:
+        return lam2, U[:, 0], U
     return lam2, U[:, 0]

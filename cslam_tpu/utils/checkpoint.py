@@ -163,6 +163,29 @@ def save_node(node, folder: str):
         json.dump(manifest, f, indent=1)
 
 
+def save_node_atomic(node, folder: str):
+    """Crash-safe checkpoint: write into a sibling tmp dir, then swap.
+
+    A SIGKILL mid-save must never corrupt the previous checkpoint —
+    the swap point is a pair of renames; load_node only trusts a folder
+    containing manifest.json (written last inside save_node), so every
+    observable state is either the old complete checkpoint or the new
+    one."""
+    import shutil
+    tmp = folder + ".tmp"
+    old = folder + ".old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    save_node(node, tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(folder):
+        os.rename(folder, old)
+    os.rename(tmp, folder)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def load_node(node, folder: str):
     """Restore a SwarmNode from a checkpoint folder."""
     det = node.detection
