@@ -61,13 +61,18 @@ class PGOConfig(NamedTuple):
     # ATE against gnc_lm_iters=5 / shallow polish).
     lm_max_iters: int = 25
     lm_init_lambda: float = 1e-4
-    cg_max_iters: int = 50
+    # CG budget per LM step. With the chain-exact tridiag
+    # preconditioner, 25 matches 50 on every seed of the 8-seed mixed
+    # inlier/outlier sweep (benchmarks/pgo_quality_sweep.py, round 4:
+    # ate_med 0.123/recall 0.75 both) — and the tridiag runs BEAT the
+    # round-3 jacobi@50 defaults on quality (0.256/0.55), because
+    # better-converged inner solves make better GNC decisions. 12
+    # blows up one seed (3.7 ATE) — don't go lower. (The round-3
+    # warning against 25 was measured under the jacobi preconditioner,
+    # where inner solves at 25 were badly unconverged.)
+    cg_max_iters: int = 25
     # CG budget during the unit-weight init solve and the GNC
-    # reweighting rounds; 0 = use cg_max_iters. Tempting to halve for
-    # wall time, but DON'T by default: an 8-seed mixed inlier/outlier
-    # sweep showed under-converged GNC-round solves leave true-inlier
-    # residuals high and GNC then rejects them (mean ATE 1.86 vs 0.30,
-    # recall 0.40 on the worst seed at 25 vs 50).
+    # reweighting rounds; 0 = use cg_max_iters.
     gnc_cg_max_iters: int = 0
     # inexact-Newton: 1e-6 relative residual halves+ the solve time vs
     # 1e-8 at <1% cost difference (sphere-1000 sweep)
@@ -103,6 +108,14 @@ class PGOConfig(NamedTuple):
     # On TPU the dense Cholesky wins only for small blocks (the (P,P,6,6)
     # scatter-assembly dominates beyond that); measured crossover ~P=256.
     dense_threshold: int = 1536  # on 6P (i.e. P <= 256 poses)
+    # PCG preconditioner. "tridiag": exact block-tridiagonal solve of
+    # the odometry-chain part of H by cyclic reduction (log2(P) levels
+    # of batched 6x6 arithmetic, ops/block_tridiag.py) — the chain is
+    # the ill-conditioned part (condition ~P^2), and with it removed
+    # CG only has the loop-closure couplings left. "jacobi": per-node
+    # 6x6 block inverses (round-3 behavior; measured burning the FULL
+    # 50-iteration CG budget on every LM step at 1000 poses).
+    preconditioner: str = "tridiag"
     # Chordal initialization (backend/initialization.py): replaces the
     # stored initial estimates with a rotation-averaging solution before
     # the first LM — enables convergence from arbitrary initial frames.
@@ -306,18 +319,33 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
         out = out.at[g.prior_idx].add(Jp.T @ (Jp @ x[g.prior_idx]))
         return out + lam * x
 
-    # Block-Jacobi preconditioner: (H_ii + lam I)^-1 per node
+    # Preconditioner. Both start from the block diagonal of H:
     Hii = jnp.zeros((P, 6, 6), dtype=r.dtype)
     Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
     Hii = Hii.at[g.prior_idx].add(Jp.T @ Jp)
     Hii = Hii + lam * jnp.eye(6, dtype=r.dtype)[None]
-    # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is a
-    # ~730 us batched-LU call on TPU — the most expensive op in the
-    # whole LM body (ops/batched_linalg.py)
-    Minv = batched_inv_small(Hii)
+    if getattr(cfg, "preconditioner", "tridiag") == "tridiag":
+        # Exact solve of M = tridiag(Hii, chain couplings) by block
+        # cyclic reduction: M is the full GN Hessian of the odometry
+        # chain (+lam, +prior) plus the PSD block-diagonal of loop
+        # contributions, so PCG is left with only the loop couplings —
+        # block-Jacobi alone burned the full CG budget every LM step
+        # (measured 50/50 at 1000 poses, round 4).
+        from cslam_tpu.ops.block_tridiag import (bcr_factor, bcr_solve,
+                                                 chain_offdiag_from_edges)
+        O_chain = chain_offdiag_from_edges(g.e_i, g.e_j, Ji, Jj, P)
+        bcr = bcr_factor(Hii, O_chain)
 
-    def apply_minv(v):
-        return jnp.einsum("pij,pj->pi", Minv, v)
+        def apply_minv(v):
+            return bcr_solve(bcr, v) * g.node_mask[:, None]
+    else:
+        # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is
+        # a ~730 us batched-LU call on TPU — the most expensive op in
+        # the whole LM body (ops/batched_linalg.py)
+        Minv = batched_inv_small(Hii)
+
+        def apply_minv(v):
+            return jnp.einsum("pij,pj->pi", Minv, v)
 
     def dot(a, bb):
         return jnp.sum(a * bb)

@@ -1,0 +1,139 @@
+"""Exact block-tridiagonal solves by cyclic reduction — the PGO chain
+preconditioner.
+
+A pose graph's Gauss-Newton Hessian is an odometry CHAIN (block
+tridiagonal, condition ~P^2) plus a few loop-closure couplings. Block-
+Jacobi PCG ignores the chain entirely and burns its full iteration
+budget on every LM step (measured: 50/50 iterations at 1000 poses,
+round 4). The classical fix — block Thomas/LDL factorization — is a
+SEQUENTIAL scan over P blocks, the worst possible shape for a TPU.
+
+Cyclic reduction does the same exact solve in log2(P) LEVELS of fully
+batched 6x6 arithmetic: each level eliminates all odd-indexed blocks at
+once (batched inverses via Gauss-Jordan + batched matmuls — VPU/MXU
+work, no LAPACK loops), halving the system. With M = the block-
+tridiagonal part of H (all diagonal contributions including loop edges
+and lam, chain couplings off-diagonal), PCG sees only the loop-closure
+corrections and converges in a handful of iterations.
+
+Reference analog: GTSAM solves the full system by sparse Cholesky on
+the CPU (decentralized_pgo.cpp:861-886); this is the TPU-native
+equivalent of exploiting the same chain structure.
+
+Conventions: system M x = b with n (power-of-two) blocks of size s;
+D: (n, s, s) diagonal blocks; O: (n, s, s) with O[j] = M[j, j-1]
+(O[0] must be zero). Padded blocks: put identity-ish diagonals (e.g.
+lam*I) and zero couplings — they decouple exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from cslam_tpu.ops.batched_linalg import batched_inv_small
+
+# Below this many blocks the remaining system is assembled dense and
+# Cholesky-factored once: 4 more reduction levels of tiny batched ops
+# would each pay the per-op dispatch floor for almost no work.
+_DENSE_TAIL_BLOCKS = 8
+
+
+def bcr_factor(D, O):
+    """Factor the block-tridiagonal system for repeated solves.
+
+    Returns an opaque pytree of per-level reduction operators plus a
+    Cholesky factor of the dense tail. All static shapes: n is halved
+    per level (Python loop, unrolled into the XLA program).
+    """
+    n, s, _ = D.shape
+    assert n & (n - 1) == 0, "block count must be a power of two"
+    levels = []
+    while n > _DENSE_TAIL_BLOCKS:
+        D_even, D_odd = D[0::2], D[1::2]
+        O_even, O_odd = O[0::2], O[1::2]
+        Dinv_odd = batched_inv_small(D_odd)
+        # left-neighbor operators for even i=2k: L_k = O_even[k] @
+        # Dinv_odd[k-1] (zero at k=0 — O_even[0] is the global O[0]=0
+        # only at level 0, so shift explicitly)
+        Dinv_left = jnp.concatenate(
+            [jnp.zeros_like(Dinv_odd[:1]), Dinv_odd[:-1]], axis=0)
+        L = jnp.einsum("kij,kjl->kil", O_even, Dinv_left)
+        # right-neighbor operators: R_k = O_odd[k]^T @ Dinv_odd[k]
+        R = jnp.einsum("kji,kjl->kil", O_odd, Dinv_odd)
+        D_new = (D_even
+                 - jnp.einsum("kij,klj->kil", L, O_even)
+                 - jnp.einsum("kij,kjl->kil", R, O_odd))
+        O_prev = jnp.concatenate(
+            [jnp.zeros_like(O_odd[:1]), O_odd[:-1]], axis=0)
+        O_new = -jnp.einsum("kij,kjl->kil", L, O_prev)
+        O_new = O_new.at[0].set(0.0)
+        levels.append({"Dinv_odd": Dinv_odd, "O_even": O_even,
+                       "O_odd": O_odd, "L": L, "R": R})
+        D, O = D_new, O_new
+        n //= 2
+    # dense tail: assemble (n*s, n*s) and Cholesky once
+    tail = jnp.zeros((n, n, s, s), dtype=D.dtype)
+    idx = jnp.arange(n)
+    tail = tail.at[idx, idx].set(D)
+    if n > 1:
+        tail = tail.at[idx[1:], idx[:-1]].set(O[1:])
+        tail = tail.at[idx[:-1], idx[1:]].set(
+            jnp.swapaxes(O[1:], -2, -1))
+    dense = jnp.transpose(tail, (0, 2, 1, 3)).reshape(n * s, n * s)
+    chol = jnp.linalg.cholesky(dense)
+    return {"levels": levels, "chol": chol, "tail_n": n, "s": s}
+
+
+def bcr_solve(factor, b):
+    """Solve M x = b using a factor from bcr_factor. b: (n, s)."""
+    levels = factor["levels"]
+    s = factor["s"]
+    rhs_stack = []
+    for lv in levels:
+        b_even, b_odd = b[0::2], b[1::2]
+        b_odd_prev = jnp.concatenate(
+            [jnp.zeros_like(b_odd[:1]), b_odd[:-1]], axis=0)
+        b_new = (b_even
+                 - jnp.einsum("kij,kj->ki", lv["L"], b_odd_prev)
+                 - jnp.einsum("kij,kj->ki", lv["R"], b_odd))
+        rhs_stack.append(b_odd)
+        b = b_new
+    n_tail = factor["tail_n"]
+    x = jax.scipy.linalg.cho_solve(
+        (factor["chol"], True), b.reshape(n_tail * s)).reshape(n_tail, s)
+    for lv, b_odd in zip(reversed(levels), reversed(rhs_stack)):
+        # x currently holds the even-indexed solution of this level
+        x_next = jnp.concatenate(
+            [x[1:], jnp.zeros_like(x[:1])], axis=0)
+        O_even_next = jnp.concatenate(
+            [lv["O_even"][1:], jnp.zeros_like(lv["O_even"][:1])], axis=0)
+        rhs_odd = (b_odd
+                   - jnp.einsum("kij,kj->ki", lv["O_odd"], x)
+                   - jnp.einsum("kji,kj->ki", O_even_next, x_next))
+        x_odd = jnp.einsum("kij,kj->ki", lv["Dinv_odd"], rhs_odd)
+        full = jnp.zeros((2 * x.shape[0], s), dtype=x.dtype)
+        x = full.at[0::2].set(x).at[1::2].set(x_odd)
+    return x
+
+
+def chain_offdiag_from_edges(e_i, e_j, Ji, Jj, P):
+    """(P, 6, 6) sub-diagonal blocks O[m] = H[m, m-1] from the CHAIN
+    edges (|e_i - e_j| == 1) of a stacked edge list; O[0] = 0.
+
+    Ji/Jj must already carry the sqrt(weight)*mask scaling, so masked
+    or non-chain edges contribute nothing. Loop edges are EXCLUDED from
+    the off-diagonal (their diagonal contributions live in D via Hii),
+    keeping M = tridiag(D, O) symmetric positive definite: M is the
+    full GN Hessian of chain factors + lam*I + prior plus a PSD
+    block-diagonal of loop contributions.
+    """
+    s = Ji.shape[-1]
+    fwd = (e_j == e_i + 1)
+    rev = (e_i == e_j + 1)
+    # H[e_j, e_i] += Jj^T Ji   (fwd: e_j = e_i + 1 -> row m = e_j)
+    cross_ji = jnp.einsum("eoi,eoj->eij", Jj, Ji)
+    # H[e_i, e_j] += Ji^T Jj   (rev: e_i = e_j + 1 -> row m = e_i)
+    cross_ij = jnp.einsum("eoi,eoj->eij", Ji, Jj)
+    O = jnp.zeros((P, s, s), dtype=Ji.dtype)
+    O = O.at[e_j].add(jnp.where(fwd[:, None, None], cross_ji, 0.0))
+    O = O.at[e_i].add(jnp.where(rev[:, None, None], cross_ij, 0.0))
+    return O.at[0].set(0.0)

@@ -25,6 +25,108 @@ import jax.numpy as jnp
 from cslam_tpu.ops.laplacian import laplacian_matvec
 
 
+@functools.partial(jax.jit, static_argnames=("invit_iters", "cg_iters"))
+def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
+                         invit_iters=12, cg_iters=24, eps=1e-6):
+    """Matrix-free Fiedler pair by INVERSE iteration — the map-scale
+    path where LOBPCG on the flipped operator is numerically blind.
+
+    At P >= ~2048 a chain graph's lambda_2 ~ pi^2/P^2 sits BELOW the
+    float32 resolution of the flipped spectrum (sigma - lambda_2 is
+    indistinguishable from sigma once lambda_2/sigma < 1e-7): measured
+    at P=4096, lobpcg_standard returns 0.0102 against a true 3.25e-06
+    — 3000x off — no matter how many iterations (round 4). Two changes
+    make f32 sufficient:
+
+    - INVERSE iteration x <- L^+ x amplifies 1/lambda: the convergence
+      ratio lambda_2/lambda_3 ~ 1/4 on chains, so ~a dozen iterations
+      resolve the eigenVECTOR. Each solve is CG on the (deflated)
+      Laplacian preconditioned by an EXACT tridiagonal solve of its
+      chain part (block cyclic reduction, ops/block_tridiag.py) — the
+      chain carries the P^2 conditioning, so CG sees only the few
+      loop-closure couplings.
+    - the eigenVALUE is read off the quadratic form
+      sum_e w_e (x_i - x_j)^2 — all non-negative terms, no
+      cancellation, f32-accurate at any scale (the flipped Rayleigh
+      quotient sigma - theta is pure cancellation).
+
+    Returns (lambda_2, v). v0 warm-starts the iteration (carry it
+    across Frank-Wolfe steps).
+    """
+    from cslam_tpu.ops.block_tridiag import bcr_factor, bcr_solve
+
+    P = node_mask.shape[0]
+    n_real = jnp.maximum(jnp.sum(node_mask), 1.0)
+    ones = node_mask / jnp.sqrt(n_real)
+
+    def project(x):
+        return (x - ones * jnp.dot(ones, x)) * node_mask
+
+    def lap(x):
+        return laplacian_matvec(e_i, e_j, weights, x) + eps * x
+
+    # scalar-tridiagonal chain part of L: D = full degrees + eps,
+    # O[m] = -w for chain edges (m-1, m)
+    deg = jnp.zeros((P,), jnp.float32).at[e_i].add(weights) \
+                                      .at[e_j].add(weights)
+    D = (deg + eps)[:, None, None]
+    chain_fwd = (e_j == e_i + 1)
+    chain_rev = (e_i == e_j + 1)
+    O = jnp.zeros((P,), jnp.float32)
+    O = O.at[e_j].add(jnp.where(chain_fwd, -weights, 0.0))
+    O = O.at[e_i].add(jnp.where(chain_rev, -weights, 0.0))
+    O = O.at[0].set(0.0)[:, None, None]
+    fac = bcr_factor(D, O)
+
+    def minv(r):
+        return project(bcr_solve(fac, r[:, None])[:, 0])
+
+    def cg_solve(b):
+        b = project(b)
+        x = jnp.zeros_like(b)
+        r = b
+        z = minv(r)
+        p = z
+        rz = jnp.dot(r, z)
+
+        def body(_, st):
+            x, r, p, rz = st
+            Ap = project(lap(p))
+            pAp = jnp.dot(p, Ap)
+            # freeze once converged: past machine precision alpha/beta
+            # overflow (rz underflows, pAp hits the null space) and a
+            # fori_loop body that keeps stepping turns that into NaN —
+            # observed at invit_iters >= 12 on converged chains
+            ok = (rz > 1e-25) & (pAp > 1e-30) & jnp.isfinite(pAp)
+            alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-30), 0.0)
+            x = x + alpha * p
+            r = jnp.where(ok, r - alpha * Ap, r)
+            z = minv(r)
+            rz_new = jnp.dot(r, z)
+            beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+            return x, r, z + beta * p, jnp.where(ok, rz_new, rz)
+
+        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
+        return x
+
+    if v0 is None:
+        v0 = jax.random.normal(jax.random.PRNGKey(13), (P,),
+                               dtype=jnp.float32)
+    x = project(v0)
+    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+
+    def invit(_, x):
+        x = cg_solve(x)
+        x = project(x)
+        return x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+
+    x = jax.lax.fori_loop(0, invit_iters, invit, x)
+    # quadratic form: non-negative terms only, f32-exact at any scale
+    dx = x[e_i] - x[e_j]
+    lam2 = jnp.sum(weights * dx * dx) / jnp.maximum(jnp.dot(x, x), 1e-30)
+    return lam2, x
+
+
 def _augment(L, node_mask):
     """Add BIG to padded diagonal entries; returns (L_aug, BIG)."""
     # lambda_max(L) <= 2 * max_degree <= 2 * trace(L); +1 margin.

@@ -38,7 +38,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cslam_tpu.ops.fiedler import fiedler_pair_lobpcg
+from cslam_tpu.ops.fiedler import (fiedler_pair_inverse,
+                                    fiedler_pair_lobpcg)
 from cslam_tpu.ops.laplacian import (incidence_matrix, laplacian_dense,
                                      laplacian_from_incidence)
 from cslam_tpu.utils.edges import Edge
@@ -161,20 +162,23 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
         all_i = jnp.concatenate([fixed_e_i, e_i])
         all_j = jnp.concatenate([fixed_e_j, e_j])
 
-        # The LOBPCG block is CARRIED across FW iterations (same
-        # warm-start idea as the dense "warm-lobpcg" path): w moves
-        # O(1/it) per step, so the previous eigenblock is a near-
-        # converged init — gradients come out markedly more accurate
-        # than a cold 100-iter start (chains: measured rounding quality
-        # 0.67 -> ~1.0 of the dense path's, round 4).
-        def fiedler_at(w, X):
+        # Map-scale Fiedler pairs come from INVERSE iteration with a
+        # chain-exact (cyclic-reduction) preconditioner — NOT LOBPCG on
+        # the flipped operator, which is numerically blind at this
+        # scale: lambda_2 ~ pi^2/P^2 drops below f32 resolution of
+        # sigma at P >= ~2048 (measured 3000x error at P=4096, round
+        # 4; see ops/fiedler.fiedler_pair_inverse). The eigenvector is
+        # CARRIED across FW iterations: w moves O(1/it) per step, so
+        # the previous vector is near-converged and few inverse
+        # iterations suffice.
+        def fiedler_at(w, v):
             all_w = jnp.concatenate([fixed_w, w * weights])
-            lam2, v, X = fiedler_pair_lobpcg(
-                all_i, all_j, all_w, node_mask, num_iters=100, X0=X,
-                return_block=True)
-            return lam2, v, X
+            lam2, v = fiedler_pair_inverse(
+                all_i, all_j, all_w, node_mask, v0=v,
+                invit_iters=6, cg_iters=16)
+            return lam2, v, v
         fiedler_carry0 = jax.random.normal(
-            jax.random.PRNGKey(3), (node_mask.shape[0], 4),
+            jax.random.PRNGKey(3), (node_mask.shape[0],),
             dtype=jnp.float32)
     else:
         # loop-invariant incidence matrix: per-iteration Laplacian
@@ -311,35 +315,38 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
                                     length=refine_rounds)
 
     # Matfree flavor of the same refinement: swaps are evaluated by
-    # LOBPCG warm-started from the CURRENT selection's converged block
-    # (one-edge perturbation => strong eigenvector continuity, 16 iters
-    # suffice where a cold start needs ~100). Evaluations run
-    # sequentially (lax.map) to bound memory at map-scale P.
+    # inverse iteration warm-started from the CURRENT selection's
+    # converged Fiedler vector (one-edge perturbation => strong
+    # eigenvector continuity). Evaluations run sequentially (lax.map)
+    # to bound memory at map-scale P. The inverse-iteration estimates
+    # are Rayleigh quotients of approximate vectors: one-sided
+    # overestimates with measured rel error <= ~4e-4 at P up to 8192
+    # (ops/fiedler.py) — the 1% accept margins below guarantee every
+    # accepted change is a TRUE improvement.
     if fiedler_method == "matfree" and k > 0 and refine_rounds > 0:
         SWAP_K = 4
         n_valid = jnp.sum(valid)
         can_swap = n_valid > k
 
-        def eval_sel(sel, X0, iters):
+        def eval_sel(sel, v0, invit, cg):
             all_w = jnp.concatenate([fixed_w, sel * weights])
-            return fiedler_pair_lobpcg(all_i, all_j, all_w, node_mask,
-                                       num_iters=iters, X0=X0,
-                                       return_block=True)
+            return fiedler_pair_inverse(all_i, all_j, all_w, node_mask,
+                                        v0=v0, invit_iters=invit,
+                                        cg_iters=cg)
 
-        X_init = jax.random.normal(jax.random.PRNGKey(11),
-                                   (node_mask.shape[0], 4), jnp.float32)
+        v_carry = jax.random.normal(jax.random.PRNGKey(11),
+                                    (node_mask.shape[0],), jnp.float32)
 
         # >=greedy safeguard, matfree flavor (the dense path's
-        # FW-vs-greedy comparison above is gated off here): evaluate
-        # both roundings with converged LOBPCG and keep the better.
+        # FW-vs-greedy comparison above is gated off here).
         w_greedy = round_topk(weights)
-        lam_fw, _, X_init = eval_sel(w_rounded, X_init, 64)
-        lam_gr, _, _ = eval_sel(w_greedy, X_init, 64)
+        lam_fw, v_carry = eval_sel(w_rounded, v_carry, 12, 24)
+        lam_gr, _ = eval_sel(w_greedy, v_carry, 12, 24)
         w_rounded = jnp.where(lam_fw > lam_gr * 1.01, w_rounded, w_greedy)
 
         def refine_mf(carry, _):
-            sel, X = carry
-            lam2_cur, v, X = eval_sel(sel, X, 32)
+            sel, v = carry
+            lam2_cur, v = eval_sel(sel, v, 8, 20)
             grad = weights * jnp.square(v[e_i] - v[e_j]) * valid
             add_score = jnp.where((sel < 0.5) & (valid > 0), grad,
                                   -jnp.inf)
@@ -354,21 +361,19 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
             def swap_lam2(ar):
                 a, r = ar
                 s2 = sel.at[rem_idx[r]].set(0.0).at[add_idx[a]].set(1.0)
-                lam2, _, _ = eval_sel(s2, X, 48)
+                lam2, _ = eval_sel(s2, v, 8, 20)
                 return lam2
 
             lam2s = jax.lax.map(swap_lam2, (aa, rr))
             lam2s = jnp.where(swap_ok & can_swap, lam2s, -jnp.inf)
             best = jnp.argmax(lam2s)
-            # warm-started 16-iter estimates are one-sided like the
-            # squaring ones but noisier — demand a 1% win
             take = lam2s[best] > lam2_cur * 1.01
             s_best = sel.at[rem_idx[best % SWAP_K]].set(0.0) \
                         .at[add_idx[best // SWAP_K]].set(1.0)
             sel = jnp.where(take, s_best, sel)
-            return (sel, X), None
+            return (sel, v), None
 
-        (w_rounded, _), _ = jax.lax.scan(refine_mf, (w_rounded, X_init),
+        (w_rounded, _), _ = jax.lax.scan(refine_mf, (w_rounded, v_carry),
                                          None, length=refine_rounds)
     return w_rounded, w, u
 
