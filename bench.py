@@ -354,6 +354,12 @@ def bench_knn_1m(jnp):
         run_variant("pallas_exact",
                     lambda d, nn, q: cosine_topk_pallas(
                         d, N, q, K, data_norms=nn))
+        # query-group-sliced merge (VERDICT round-3 item 6): each
+        # 64-query group gates/merges over its own slice, so one
+        # query's candidate no longer drags a full (256, T) scan
+        run_variant("pallas_exact_g4",
+                    lambda d, nn, q: cosine_topk_pallas(
+                        d, N, q, K, data_norms=nn, query_groups=4))
         run_variant("xla_approx",
                     lambda d, nn, q: knn_mod.cosine_topk_approx(
                         d, N, q, K, data_norms=nn))

@@ -78,6 +78,20 @@ def run_scale(n_robots, duration, base_port, sim_poses):
             [r["first_optimization_s"] for r in robots]),
         "detection_tick_mean_ms": mean([d["mean_ms"] for d in det]),
         "detection_tick_max_ms": max(d["max_ms"] for d in det),
+        # broker breakdown: the broker (lowest id in range) pays
+        # detection alone — report ITS phase totals and the candidate
+        # flow that explains the verified-LC count
+        "broker_phase_ms": next(
+            (r.get("detection_phase_ms") for r in robots
+             if r.get("detection_ticks", 0) > 0), None),
+        "broker_detection_ticks": max(
+            r.get("detection_ticks", 0) for r in robots),
+        "candidates_selected_total": max(
+            r.get("candidates_selected_total", 0) for r in robots),
+        "candidates_still_pending": max(
+            r.get("candidates_known", 0) for r in robots),
+        "verification_failures": max(
+            r.get("verification_failures", 0) for r in robots),
         "ate_odometry_m": ate_odo,
         "ate_optimized_m": ate_opt,
         "ate_improvement": (ate_odo / ate_opt)

@@ -98,6 +98,13 @@ class GlobalDescriptorLoopClosureDetection:
         self.log_total_matches_selected = 0
         self.log_detection_cumulative_communication = 0
         self.log_total_sparsification_computation_time = 0.0
+        # broker detection-tick phase breakdown + candidate-flow
+        # counters (host-scaling anomaly instrumentation, round 4:
+        # why does the broker's tick cost seconds at 8 robots and what
+        # caps verified loop closures?)
+        self.tick_phase_ms = {"sparsification": 0.0, "broker": 0.0,
+                              "publish": 0.0, "knn_ingest": 0.0}
+        self.n_detection_ticks = 0
 
     # ------------------------------------------------------------------
     # Ingestion
@@ -243,10 +250,13 @@ class GlobalDescriptorLoopClosureDetection:
             selection = self.lcm.select_candidates(
                 int(self.params["frontend.inter_robot_loop_closure_budget"]),
                 neighbors_in_range)
+        t_sparsify = time.monotonic()
         vertices_info = self.edge_list_to_vertices(selection)
         broker = Broker(selection, in_range_list)
-        for selected_vertices_set in broker.brokerage(
-                self.params["frontend.use_vertex_cover_selection"]):
+        cover = broker.brokerage(
+            self.params["frontend.use_vertex_cover_selection"])
+        t_broker = time.monotonic()
+        for selected_vertices_set in cover:
             for v in selected_vertices_set:
                 request = msgs.LocalDescriptorsRequest(
                     keyframe_id=v[1],
@@ -255,6 +265,12 @@ class GlobalDescriptorLoopClosureDetection:
                 self.local_descriptors_request_publishers[v[0]].publish(
                     request)
             self.log_total_vertices_transmitted += len(selected_vertices_set)
+        t_publish = time.monotonic()
+        self.tick_phase_ms["sparsification"] += (t_sparsify -
+                                                 start_time) * 1e3
+        self.tick_phase_ms["broker"] += (t_broker - t_sparsify) * 1e3
+        self.tick_phase_ms["publish"] += (t_publish - t_broker) * 1e3
+        self.n_detection_ticks += 1
         self.log_total_sparsification_computation_time += (
             time.monotonic() - start_time)
         self.log_total_matches_selected += len(selection)
@@ -303,6 +319,7 @@ class GlobalDescriptorLoopClosureDetection:
                 msg.descriptors[0].robot_id == self.params["robot_id"]:
             return
         unknown = self.neighbor_manager.get_unknown_range(msg.descriptors)
+        t0 = time.monotonic()
         for i in unknown:
             match = self.lcm.add_other_robot_global_descriptor(
                 msg.descriptors[i])
@@ -310,6 +327,7 @@ class GlobalDescriptorLoopClosureDetection:
                 self.inter_robot_matches_buffer[
                     self.nb_inter_robot_matches] = match
                 self.nb_inter_robot_matches += 1
+        self.tick_phase_ms["knn_ingest"] += (time.monotonic() - t0) * 1e3
 
     def inter_robot_matches_callback(self, msg: msgs.InterRobotMatches):
         """Matches detected by other robots (reference :406-416)."""

@@ -197,6 +197,16 @@ def robot_main(robot_id: int, args):
             "comm_rx_bytes": bus.received_bytes,
             "resumed_from_keyframe": resumed_from_kf,
             "verified_loop_closures_at_resume": lcs_at_resume,
+            # broker detection-tick phase breakdown + candidate flow
+            # (host-scaling anomaly instrumentation)
+            "detection_phase_ms": dict(node.detection.tick_phase_ms),
+            "detection_ticks": node.detection.n_detection_ticks,
+            "candidates_known": len(
+                node.detection.lcm.candidate_selector.candidate_edges),
+            "candidates_selected_total":
+                node.detection.log_total_matches_selected,
+            "verification_failures":
+                node.detection.log_total_failed_matches,
             "gossip_comm_bytes":
                 node.detection.log_detection_cumulative_communication,
             "first_loop_closure_s": first_lc_time,

@@ -178,18 +178,77 @@ def _box_blur(img, radius=1):
     return (out[:, k:] - out[:, :-k]) / k
 
 
-def render_shapes(rng, H=120, W=160, n_primitives=None):
-    """One synthetic image: background gradient + random primitives.
+_PHOTO = None
+
+
+def _photo_source():
+    """Real photographic texture for background augmentation: the same
+    public-domain portrait the checked-in real_seq is cut from
+    (matplotlib's bundled grace_hopper.jpg)."""
+    global _PHOTO
+    if _PHOTO is None:
+        import os
+        from PIL import Image
+        src = os.path.join(os.path.dirname(np.__file__), "..",
+                           "matplotlib", "mpl-data", "sample_data",
+                           "grace_hopper.jpg")
+        _PHOTO = np.asarray(Image.open(src).convert("L"),
+                            dtype=np.float32) / 255.0
+    return _PHOTO
+
+
+def _background(rng, H, W, background):
+    """Background canvas by mode. 'mixed' samples per image — the
+    round-3 shipped detector was trained on 'gradient' only and yielded
+    <10 detections on black or random-texture canvases (CLAUDE.md known
+    limits / VERDICT round-3 item 8)."""
+    if background == "mixed":
+        background = rng.choice(
+            ["gradient", "black", "texture", "photo"],
+            p=[0.55, 0.15, 0.15, 0.15])
+    xx, yy = _grid(H, W)
+    if background == "black":
+        img = np.full((H, W), float(rng.uniform(0.0, 0.08)), np.float32)
+    elif background == "texture":
+        # random low-frequency blobs + broadband noise
+        img = np.full((H, W), float(rng.uniform(0.2, 0.7)), np.float32)
+        for _ in range(int(rng.integers(4, 10))):
+            cx, cy = rng.uniform(0, W), rng.uniform(0, H)
+            r = rng.uniform(6, 30)
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) /
+                            (2 * r * r)))
+            img += rng.uniform(-0.3, 0.3) * blob.astype(np.float32)
+        img += 0.05 * rng.standard_normal((H, W)).astype(np.float32)
+    elif background == "photo":
+        photo = _photo_source()
+        ph, pw = photo.shape
+        y0 = int(rng.integers(0, max(ph - H, 1)))
+        x0 = int(rng.integers(0, max(pw - W, 1)))
+        img = photo[y0:y0 + H, x0:x0 + W].copy()
+        if img.shape != (H, W):  # source smaller than canvas
+            img = np.resize(img, (H, W))
+        if rng.random() < 0.5:
+            img = img[:, ::-1]
+        img = img * rng.uniform(0.6, 1.1) + rng.uniform(-0.1, 0.1)
+    else:  # gradient (the original distribution)
+        g = rng.standard_normal(2)
+        img = 0.5 + 0.15 * (g[0] * (xx / W - 0.5) + g[1] * (yy / H - 0.5))
+    img = img + 0.03 * rng.standard_normal((H, W))
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def render_shapes(rng, H=120, W=160, n_primitives=None,
+                  background="gradient"):
+    """One synthetic image: background + random primitives.
 
     Returns (image (H, W) float32 [0,1], corners (N, 2) float32 xy).
     Corners closer than 2 px to the border are dropped (their cells are
     unusable after the valid-pixel crop anyway).
+
+    background: 'gradient' (the original synthetic_shapes canvas),
+    'black', 'texture', 'photo' (real photographic crops), or 'mixed'.
     """
-    xx, yy = _grid(H, W)
-    g = rng.standard_normal(2)
-    img = 0.5 + 0.15 * (g[0] * (xx / W - 0.5) + g[1] * (yy / H - 0.5))
-    img += 0.03 * rng.standard_normal((H, W))
-    img = np.clip(img, 0, 1).astype(np.float32)
+    img = _background(rng, H, W, background)
 
     n = int(rng.integers(2, 5)) if n_primitives is None else n_primitives
     corners = [np.zeros((0, 2), np.float32)]
@@ -286,19 +345,19 @@ def corners_to_cell_labels(corners, H, W, cell=8):
     return labels
 
 
-def make_detector_sample(rng, H=120, W=160):
+def make_detector_sample(rng, H=120, W=160, background="gradient"):
     """(image, cell_labels) pair for detector training."""
-    img, corners = render_shapes(rng, H, W)
+    img, corners = render_shapes(rng, H, W, background=background)
     return img, corners_to_cell_labels(corners, H, W)
 
 
-def make_pair_sample(rng, H=120, W=160):
+def make_pair_sample(rng, H=120, W=160, background="gradient"):
     """Homography pair for descriptor/matcher training.
 
     Returns dict with images, the homography, GT corners of the source,
     and the warped validity mask.
     """
-    img0, corners = render_shapes(rng, H, W)
+    img0, corners = render_shapes(rng, H, W, background=background)
     Hm = random_homography(rng, H, W)
     img1, valid1 = warp_image(img0, Hm)
     # brightness/contrast jitter on the warped view

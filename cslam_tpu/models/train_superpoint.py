@@ -35,7 +35,7 @@ import time
 import numpy as np
 
 
-def _batch(rng, n, H, W):
+def _batch(rng, n, H, W, background="gradient"):
     """Host-side batch: images, cell labels for both views, the warp
     grid correspondence (cell-center positions of view 0 mapped into
     view 1), and a validity mask for view-1 cells."""
@@ -52,7 +52,7 @@ def _batch(rng, n, H, W):
                        axis=1).astype(np.float32)
     from cslam_tpu.models.synthetic_shapes import apply_homography
     for i in range(n):
-        s = make_pair_sample(rng, H, W)
+        s = make_pair_sample(rng, H, W, background=background)
         im0[i, :, :, 0] = s["img0"]
         im1[i, :, :, 0] = s["img1"]
         lab0[i] = s["labels0"]
@@ -160,6 +160,12 @@ def main():
                     help="force the CPU backend")
     ap.add_argument("--init-from", default="",
                     help="warm-start from an existing .npz checkpoint")
+    ap.add_argument("--background", default="gradient",
+                    choices=["gradient", "black", "texture", "photo",
+                             "mixed"],
+                    help="background distribution (round-4 domain "
+                         "widening: 'mixed' adds black/texture/real-"
+                         "photo canvases to the original gradient)")
     ap.add_argument("--out", default="cslam_tpu/models/weights/"
                                      "superpoint_synth.npz")
     args = ap.parse_args()
@@ -190,7 +196,8 @@ def main():
 
     t0 = time.time()
     for step in range(args.steps):
-        batch = _batch(rng, args.batch, args.height, args.width)
+        batch = _batch(rng, args.batch, args.height, args.width,
+                       background=args.background)
         params, opt_state, loss, ld, ldesc = train_step(
             params, opt_state, tuple(map(jnp.asarray, batch)))
         if step % 50 == 0 or step == args.steps - 1:

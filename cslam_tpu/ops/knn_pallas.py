@@ -64,7 +64,7 @@ NEG_LARGE = -3.0e38  # finite "-inf": avoids 0 * inf = NaN in the fma
 
 def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
                 val_out_ref, best_vals, best_idx, sims_ref, *, tile_rows, k,
-                num_tiles):
+                num_tiles, query_groups=1):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -89,7 +89,6 @@ def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
 
     rm0 = jnp.max(sims, axis=1)                        # (B,)
     cmin0 = jnp.min(best_vals[:], axis=1)              # (B,)
-    any_better = jnp.any(rm0 > cmin0)
 
     # Tiles with no candidate beating any query's current k-th best (the
     # overwhelming majority once the stream is warm) skip the merge
@@ -97,33 +96,59 @@ def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
     # the tile similarities live in a VMEM scratch ref; a big (B, T)
     # loop carry measured ~2x slower. Each trip consumes the tile argmax
     # of every still-improvable query, so <= k trips.
-    @pl.when(any_better)
-    def _():
-        sims_ref[:] = sims
+    #
+    # query_groups > 1 slices the merge along the QUERY axis: each
+    # group gates and loops over its own (B/G, T) slice, so one
+    # query's candidate no longer drags the full (B, T) scan through
+    # every trip. Meant for the 1M-row regime where merge trips are
+    # the whole gap to the HBM floor; at 100k (the headline) G=1 stays
+    # best. (B-axis analog of the T-axis segment gating that LOST —
+    # module docstring — but with 4x-larger slices and 4x-fewer gates.)
+    B = best_vals.shape[0]
+    group_rows = B // query_groups
+    for g in range(query_groups):
+        lo = g * group_rows
 
-        def cond(carry):
-            rm, cmin, trips = carry
-            return jnp.any(rm > cmin) & (trips < k)
+        def _merge_group(lo=lo):
+            rm0_g = rm0[lo:lo + group_rows]
+            cmin0_g = cmin0[lo:lo + group_rows]
 
-        def body(carry):
-            rm, cmin, trips = carry
-            s = sims_ref[:]
-            am = jnp.argmax(s, axis=1)
-            better = rm > cmin
-            cam = jnp.argmin(best_vals[:], axis=1)
-            slot = jax.lax.broadcasted_iota(jnp.int32, best_vals.shape, 1)
-            hit = (slot == cam[:, None]) & better[:, None]
-            best_vals[:] = jnp.where(hit, rm[:, None], best_vals[:])
-            best_idx[:] = jnp.where(
-                hit, (am + row0)[:, None].astype(jnp.int32), best_idx[:])
-            # knock the taken element out of the tile
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col == am[:, None], NEG_LARGE, s)
-            sims_ref[:] = s
-            return (jnp.max(s, axis=1), jnp.min(best_vals[:], axis=1),
-                    trips + 1)
+            @pl.when(jnp.any(rm0_g > cmin0_g))
+            def _():
+                sims_ref[lo:lo + group_rows, :] = \
+                    sims[lo:lo + group_rows, :]
 
-        jax.lax.while_loop(cond, body, (rm0, cmin0, jnp.int32(0)))
+                def cond(carry):
+                    rm, cmin, trips = carry
+                    return jnp.any(rm > cmin) & (trips < k)
+
+                def body(carry):
+                    rm, cmin, trips = carry
+                    s = sims_ref[lo:lo + group_rows, :]
+                    am = jnp.argmax(s, axis=1)
+                    better = rm > cmin
+                    bv = best_vals[lo:lo + group_rows, :]
+                    cam = jnp.argmin(bv, axis=1)
+                    slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1)
+                    hit = (slot == cam[:, None]) & better[:, None]
+                    best_vals[lo:lo + group_rows, :] = jnp.where(
+                        hit, rm[:, None], bv)
+                    best_idx[lo:lo + group_rows, :] = jnp.where(
+                        hit, (am + row0)[:, None].astype(jnp.int32),
+                        best_idx[lo:lo + group_rows, :])
+                    # knock the taken element out of the tile
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col == am[:, None], NEG_LARGE, s)
+                    sims_ref[lo:lo + group_rows, :] = s
+                    return (jnp.max(s, axis=1),
+                            jnp.min(best_vals[lo:lo + group_rows, :],
+                                    axis=1),
+                            trips + 1)
+
+                jax.lax.while_loop(cond, body,
+                                   (rm0_g, cmin0_g, jnp.int32(0)))
+
+        _merge_group()
 
     @pl.when(i == num_tiles - 1)
     def _():
@@ -154,9 +179,10 @@ def _knn_kernel(data_ref, inv_ref, bias_ref, queries_ref, idx_out_ref,
         idx_out_ref[:] = out_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_rows"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_rows",
+                                             "query_groups"))
 def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
-                       data_norms=None):
+                       data_norms=None, query_groups=1):
     """Fused streaming top-k cosine search.
 
     Args:
@@ -201,8 +227,10 @@ def cosine_topk_pallas(data, n_valid, queries, k, tile_rows=None,
     # match the database dtype so the MXU runs its native mixed path
     queries_n = queries_n.astype(data.dtype)
 
+    assert B % query_groups == 0, (B, query_groups)
     kernel = functools.partial(_knn_kernel, tile_rows=tile_rows, k=k,
-                               num_tiles=num_tiles)
+                               num_tiles=num_tiles,
+                               query_groups=query_groups)
     idx, vals = pl.pallas_call(
         kernel,
         grid=(num_tiles,),

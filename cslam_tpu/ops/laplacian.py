@@ -10,11 +10,18 @@ Padded edges must carry weight 0 and endpoints (0, 0): they then contribute
 nothing to the Laplacian.
 """
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
 def laplacian_dense(e_i, e_j, weights, num_nodes):
     """Weighted graph Laplacian L = D - W as a dense (P, P) matrix.
+
+    Jitted (static P): the eager scatter-add sequence cost seconds per
+    call in dispatch overhead on a contended mission host (round 4).
 
     Args:
       e_i, e_j: (E,) int32 endpoints.

@@ -139,12 +139,12 @@ def _fiedler_dense_squaring(L, node_mask, squarings=16):
 @functools.partial(jax.jit, static_argnames=("k", "max_iters", "num_nodes",
                                              "fiedler_method",
                                              "lobpcg_iters", "lobpcg_block",
-                                             "refine_rounds"))
+                                             "refine_rounds", "swap_k"))
 def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
                duality_gap_tol, fixed_e_i=None, fixed_e_j=None,
                fixed_w=None, *, k, max_iters, num_nodes,
                fiedler_method="eigh", lobpcg_iters=16, lobpcg_block=4,
-               refine_rounds=0):
+               refine_rounds=0, swap_k=4):
     """Jitted Frank-Wolfe subset selection. Returns
     (w_rounded, w_unrounded, upper_bound).
 
@@ -283,7 +283,7 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
     # so a swap must win by 0.5% to be taken: every accepted swap is a
     # TRUE improvement, preserving the >=greedy contract.
     if fiedler_method != "matfree" and k > 0 and refine_rounds > 0:
-        SWAP_K = 4
+        SWAP_K = swap_k
         n_valid = jnp.sum(valid)
         can_swap = (n_valid > k) & (jnp.float32(k) >= 1.0)
 
@@ -324,7 +324,7 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
     # (ops/fiedler.py) — the 1% accept margins below guarantee every
     # accepted change is a TRUE improvement.
     if fiedler_method == "matfree" and k > 0 and refine_rounds > 0:
-        SWAP_K = 4
+        SWAP_K = swap_k
         n_valid = jnp.sum(valid)
         can_swap = n_valid > k
 
@@ -394,9 +394,17 @@ class MAC:
         self._E = _next_pow2(max(m, 1), minimum=8)
         self.m = m
 
-        fi = np.zeros(max(len(fixed_measurements), 1), dtype=np.int32)
-        fj = np.zeros(max(len(fixed_measurements), 1), dtype=np.int32)
-        fw = np.zeros(max(len(fixed_measurements), 1), dtype=np.float32)
+        # fixed edges are PADDED to power-of-two buckets like everything
+        # else: an exact-length array here re-traced and re-compiled the
+        # whole _fw_subset program on EVERY detection tick as odometry
+        # edges accumulated (measured 5.3 s/solve of pure trace+compile
+        # on a mission broker vs ~60 ms of actual solve, round 4).
+        # Zero-weight (0, 0) padding contributes nothing to any
+        # Laplacian form used downstream.
+        F = _next_pow2(max(len(fixed_measurements), 1))
+        fi = np.zeros(F, dtype=np.int32)
+        fj = np.zeros(F, dtype=np.int32)
+        fw = np.zeros(F, dtype=np.float32)
         for idx, e in enumerate(fixed_measurements):
             fi[idx], fj[idx], fw[idx] = e.i, e.j, e.weight
         self._fixed_i = jnp.asarray(fi)
@@ -414,10 +422,16 @@ class MAC:
         self.lobpcg_iters = 16
         self.lobpcg_block = 4
         # Local-swap refinement rounds after rounding (see _fw_subset):
-        # each round evaluates 16 one-swap exchanges — a vmapped
-        # matrix-squaring batch on the dense path (~1.5 ms at P=512),
-        # warm-started LOBPCG evaluations on the matfree path.
+        # each round evaluates swap_k^2 one-swap exchanges — a vmapped
+        # matrix-squaring batch on the dense path, warm-started inverse
+        # iteration on the matfree path. Parity-harness quality:
+        # swap_k 4 -> median 1.56x / min 1.03x the reference's rounded
+        # lambda_2; 2 -> 1.42x / 1.00x; 1 dips to 0.96x on one seed.
+        # At mission bucket sizes (P <= 512) a round is ~1.5 ms on MXU
+        # and ~10 ms on a CPU host — the knob exists for hosts that
+        # need detection ticks leaner still.
         self.refine_rounds = self._default_refine_rounds()
+        self.swap_k = 4
         if self.fiedler_method == "matfree":
             # dense (P, P) Laplacians are off the table at this size
             self.L_fixed = jnp.zeros((1, 1), dtype=jnp.float32)
@@ -518,7 +532,7 @@ class MAC:
             k=k, max_iters=max_iters, num_nodes=self._P,
             fiedler_method=self.fiedler_method,
             lobpcg_iters=self.lobpcg_iters, lobpcg_block=self.lobpcg_block,
-            refine_rounds=self.refine_rounds)
+            refine_rounds=self.refine_rounds, swap_k=self.swap_k)
         # ONE batched device_get: three separate np.asarray/float pulls
         # are three relay roundtrips (~30 ms each measured)
         w_rounded, w, u = jax.device_get((w_rounded, w, u))

@@ -8,7 +8,8 @@ import pytest
 from cslam_tpu.ops import knn
 
 
-def _pallas_interpret(data, n_valid, queries, k, tile_rows):
+def _pallas_interpret(data, n_valid, queries, k, tile_rows,
+                      query_groups=1):
     """Run the kernel in interpreter mode (no TPU on CI)."""
     from jax.experimental import pallas as pl
     from cslam_tpu.ops import knn_pallas
@@ -28,7 +29,8 @@ def _pallas_interpret(data, n_valid, queries, k, tile_rows):
     queries_n = queries_n.astype(data.dtype)  # native-dtype MXU path
     from jax.experimental.pallas import tpu as pltpu
     kernel = functools.partial(knn_pallas._knn_kernel, tile_rows=tile_rows,
-                               k=k, num_tiles=num_tiles)
+                               k=k, num_tiles=num_tiles,
+                               query_groups=query_groups)
     idx, vals = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -148,3 +150,21 @@ def test_cosine_topk_precomputed_norms():
     i2, s2 = knn.cosine_topk(data, 100, q, 4, data_norms=norms)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+
+
+@pytest.mark.parametrize("query_groups", [2, 4])
+def test_pallas_knn_query_groups_exact(query_groups):
+    """Query-group-sliced merges (the 1M-row lever) stay EXACT: same
+    top-k as XLA for every group width."""
+    rng = np.random.default_rng(3)
+    N, D, B, k = 1024, 128, 8, 5
+    data = rng.standard_normal((N, D)).astype(np.float32)
+    queries = rng.standard_normal((B, D)).astype(np.float32)
+    ref_idx, ref_sims = knn.cosine_topk(jnp.asarray(data), N,
+                                        jnp.asarray(queries), k)
+    idx, sims = _pallas_interpret(jnp.asarray(data), N,
+                                  jnp.asarray(queries), k, tile_rows=256,
+                                  query_groups=query_groups)
+    np.testing.assert_allclose(np.asarray(sims), np.asarray(ref_sims),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(idx), np.asarray(ref_idx))
