@@ -126,14 +126,12 @@ def evaluate(cfg, seeds, n):
 
 
 DEFAULT_CANDIDATES = [
-    ("r3-jacobi50", dict(preconditioner="jacobi")),
-    ("tridiag50", dict()),
-    ("tridiag25", dict(cg_max_iters=25)),
+    ("r3-jacobi50", dict(preconditioner="jacobi", cg_max_iters=50)),
+    ("tridiag25", dict()),
+    ("tridiag25-polish12", dict(lm_max_iters=12)),
+    ("tridiag25-gnclm1", dict(gnc_lm_iters=1)),
+    ("tridiag25-init5", dict(lm_init_iters=5)),
     ("tridiag12", dict(cg_max_iters=12)),
-    ("tridiag25-fast", dict(cg_max_iters=25, lm_init_iters=5,
-                            lm_max_iters=12)),
-    ("tridiag12-fast", dict(cg_max_iters=12, lm_init_iters=5,
-                            lm_max_iters=12)),
 ]
 
 

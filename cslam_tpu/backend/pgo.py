@@ -55,11 +55,15 @@ class PGOConfig(NamedTuple):
     mu_step: float = 1.4
     gnc_max_outer_iters: int = 20
     # Budget for the initial unit-weight solve and the final polish
-    # (both exit early on rel-cost convergence). 25 > the old 10: the
-    # deep final polish is where the ATE is won once the GNC weights
-    # have settled (8-seed sweep: recall 0.96 vs 0.71 at equal median
-    # ATE against gnc_lm_iters=5 / shallow polish).
-    lm_max_iters: int = 25
+    # (both exit early on rel-cost convergence). The deep 25-step
+    # polish was a block-Jacobi-era need (under-converged inner solves
+    # left residual error for the polish to grind out); with the
+    # chain-exact tridiag preconditioner, 12 is quality-IDENTICAL on
+    # every seed of the 8-seed sweep (pgo_quality_sweep: ate_med
+    # 0.1226 / recall 0.75 both) and saves ~20 ms device at 1000
+    # poses. Cutting lm_init_iters or gnc_lm_iters instead DOES cost
+    # recall (0.75 -> 0.62-0.63) — the budget belongs in the rounds.
+    lm_max_iters: int = 12
     lm_init_lambda: float = 1e-4
     # CG budget per LM step. With the chain-exact tridiag
     # preconditioner, 25 matches 50 on every seed of the 8-seed mixed

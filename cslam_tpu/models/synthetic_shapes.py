@@ -237,18 +237,53 @@ def _background(rng, H, W, background):
     return np.clip(img, 0, 1).astype(np.float32)
 
 
+def background_corner_cells(bg, cell=8, threshold=0.12):
+    """(H//cell, W//cell) bool mask of cells where the BACKGROUND
+    itself has corner structure (Shi-Tomasi min-eigenvalue of the
+    structure tensor, cell-pooled).
+
+    Photo/texture backgrounds contain real corners that carry no
+    label; training the detector's dustbin on those cells actively
+    teaches it to SUPPRESS real corners (measured round 4: a mixed-
+    background continuation run dropped real-photo detections 128 ->
+    56-95 and blob-scene detections 26 -> 5). Such cells must be
+    EXCLUDED from the detector loss, not labeled empty."""
+    gy, gx = np.gradient(bg.astype(np.float32))
+    Ixx, Iyy, Ixy = gx * gx, gy * gy, gx * gy
+    H, W = bg.shape
+    Hc, Wc = H // cell, W // cell
+
+    def pool(a):
+        return a[:Hc * cell, :Wc * cell].reshape(
+            Hc, cell, Wc, cell).sum(axis=(1, 3))
+
+    sxx, syy, sxy = pool(Ixx), pool(Iyy), pool(Ixy)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = np.sqrt(np.maximum(tr * tr / 4.0 - det, 0.0))
+    lam_min = tr / 2.0 - disc
+    # ABSOLUTE threshold (a relative one marks everything on flat
+    # canvases whose only signal is sensor noise). Measured cell
+    # lam_min: gradient/black backgrounds max 0.05, texture blobs max
+    # 0.19, real-photo corners reach 1.6 with p99 0.49 — 0.12 passes
+    # noise and smooth blobs, catches photographic structure.
+    return lam_min > threshold
+
+
 def render_shapes(rng, H=120, W=160, n_primitives=None,
-                  background="gradient"):
+                  background="gradient", return_ignore=False):
     """One synthetic image: background + random primitives.
 
-    Returns (image (H, W) float32 [0,1], corners (N, 2) float32 xy).
-    Corners closer than 2 px to the border are dropped (their cells are
-    unusable after the valid-pixel crop anyway).
+    Returns (image (H, W) float32 [0,1], corners (N, 2) float32 xy)
+    — plus, with return_ignore=True, the (H//8, W//8) bool mask of
+    cells whose BACKGROUND has its own (unlabeled) corner structure
+    (see background_corner_cells).
 
     background: 'gradient' (the original synthetic_shapes canvas),
     'black', 'texture', 'photo' (real photographic crops), or 'mixed'.
     """
     img = _background(rng, H, W, background)
+    ignore = background_corner_cells(img) if return_ignore else None
 
     n = int(rng.integers(2, 5)) if n_primitives is None else n_primitives
     corners = [np.zeros((0, 2), np.float32)]
@@ -264,6 +299,8 @@ def render_shapes(rng, H=120, W=160, n_primitives=None,
                   1).astype(np.float32)
     keep = (corners[:, 0] >= 2) & (corners[:, 0] <= W - 3) & \
            (corners[:, 1] >= 2) & (corners[:, 1] <= H - 3)
+    if return_ignore:
+        return img, corners[keep], ignore
     return img, corners[keep]
 
 
@@ -357,9 +394,20 @@ def make_pair_sample(rng, H=120, W=160, background="gradient"):
     Returns dict with images, the homography, GT corners of the source,
     and the warped validity mask.
     """
-    img0, corners = render_shapes(rng, H, W, background=background)
+    img0, corners, ignore0 = render_shapes(rng, H, W,
+                                           background=background,
+                                           return_ignore=True)
     Hm = random_homography(rng, H, W)
     img1, valid1 = warp_image(img0, Hm)
+    # view-1 ignore mask: warp the per-pixel ignore field like the
+    # image (nearest via the same bilinear warp thresholded)
+    ig_px = np.repeat(np.repeat(ignore0.astype(np.float32), 8, axis=0),
+                      8, axis=1)
+    ig_px = ig_px[:H, :W]
+    pad = np.zeros((H, W), np.float32)
+    pad[:ig_px.shape[0], :ig_px.shape[1]] = ig_px
+    ig1_px, _ = warp_image(pad, Hm)
+    ignore1 = ig1_px[4::8, 4::8][:H // 8, :W // 8] > 0.25
     # brightness/contrast jitter on the warped view
     img1 = np.clip(img1 * rng.uniform(0.7, 1.3) +
                    rng.uniform(-0.12, 0.12), 0, 1).astype(np.float32)
@@ -374,4 +422,5 @@ def make_pair_sample(rng, H=120, W=160, background="gradient"):
     labels1 = corners_to_cell_labels(c1[keep] if len(corners) else c1, H, W)
     return {"img0": img0, "img1": img1, "H": Hm, "corners0": corners,
             "corners1": c1[keep] if len(corners) else c1,
-            "labels0": labels0, "labels1": labels1, "valid1": valid1}
+            "labels0": labels0, "labels1": labels1, "valid1": valid1,
+            "ignore0": ignore0, "ignore1": ignore1}

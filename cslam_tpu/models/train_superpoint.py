@@ -47,6 +47,11 @@ def _batch(rng, n, H, W, background="gradient"):
     lab1 = np.zeros((n, Hc, Wc), np.int32)
     warped_centers = np.zeros((n, Hc * Wc, 2), np.float32)
     valid1 = np.zeros((n, Hc, Wc), np.float32)
+    # detector-loss weights: 1 everywhere except dustbin-labeled cells
+    # whose BACKGROUND has its own (unlabeled) corner structure — those
+    # must not teach suppression (synthetic_shapes.background_corner_cells)
+    det_w0 = np.ones((n, Hc, Wc), np.float32)
+    det_w1 = np.ones((n, Hc, Wc), np.float32)
     cy, cx = np.mgrid[0:Hc, 0:Wc]
     centers = np.stack([cx.ravel() * 8 + 4, cy.ravel() * 8 + 4],
                        axis=1).astype(np.float32)
@@ -62,7 +67,11 @@ def _batch(rng, n, H, W, background="gradient"):
         # source image (warp validity map, subsampled at cell centers)
         v = s["valid1"][4::8, 4::8]
         valid1[i] = v[:Hc, :Wc]
-    return im0, im1, lab0, lab1, warped_centers, valid1
+        ig0 = s["ignore0"][:Hc, :Wc]
+        ig1 = s["ignore1"][:Hc, :Wc]
+        det_w0[i] = np.where((lab0[i] >= 64) & ig0, 0.0, 1.0)
+        det_w1[i] = np.where((lab1[i] >= 64) & ig1, 0.0, 1.0)
+    return im0, im1, lab0, lab1, warped_centers, valid1, det_w0, det_w1
 
 
 def build_train_step(model, lr, steps, desc_weight=1.0):
@@ -119,14 +128,13 @@ def build_train_step(model, lr, steps, desc_weight=1.0):
 
     @jax.jit
     def train_step(params, opt_state, batch):
-        im0, im1, lab0, lab1, wc, v1 = batch
+        im0, im1, lab0, lab1, wc, v1, dw0, dw1 = batch
 
         def loss_fn(p):
             det0, desc0 = model.apply(p, im0)
             det1, desc1 = model.apply(p, im1)
-            ones = jnp.ones(lab0.shape, jnp.float32)
-            ld = detector_loss(det0, lab0, ones) + \
-                detector_loss(det1, lab1, v1)
+            ld = detector_loss(det0, lab0, dw0) + \
+                detector_loss(det1, lab1, v1 * dw1)
             ldesc = descriptor_loss(desc0, desc1, lab0, wc, v1)
             return ld + desc_weight * ldesc, (ld, ldesc)
 

@@ -32,9 +32,14 @@ import jax.numpy as jnp
 from cslam_tpu.ops.batched_linalg import batched_inv_small
 
 # Below this many blocks the remaining system is assembled dense and
-# Cholesky-factored once: 4 more reduction levels of tiny batched ops
-# would each pay the per-op dispatch floor for almost no work.
-_DENSE_TAIL_BLOCKS = 8
+# Cholesky-factored once. The tail is deliberately LARGE: every
+# reduction level costs ~6 tiny ops in BOTH the down and up phase of
+# every solve, and at op-floor sizes those dominate (measured: tail=8
+# made the preconditioner apply as expensive as ~4 block-Jacobi
+# applies at P=512, erasing the iteration savings). A 64-block tail is
+# one (384, 384) Cholesky per factorization and two triangular solves
+# per apply — 3 ops replacing 3 levels x 12 ops.
+_DENSE_TAIL_BLOCKS = 64
 
 
 def bcr_factor(D, O):
@@ -70,7 +75,10 @@ def bcr_factor(D, O):
                        "O_odd": O_odd, "L": L, "R": R})
         D, O = D_new, O_new
         n //= 2
-    # dense tail: assemble (n*s, n*s) and Cholesky once
+    # dense tail: assemble (n*s, n*s), Cholesky once, and store the
+    # explicit INVERSE — each preconditioner application then costs one
+    # matvec instead of two TPU triangular solves (which lower to slow
+    # sequential custom calls and were ~the whole apply cost at tail=64)
     tail = jnp.zeros((n, n, s, s), dtype=D.dtype)
     idx = jnp.arange(n)
     tail = tail.at[idx, idx].set(D)
@@ -80,7 +88,9 @@ def bcr_factor(D, O):
             jnp.swapaxes(O[1:], -2, -1))
     dense = jnp.transpose(tail, (0, 2, 1, 3)).reshape(n * s, n * s)
     chol = jnp.linalg.cholesky(dense)
-    return {"levels": levels, "chol": chol, "tail_n": n, "s": s}
+    inv = jax.scipy.linalg.cho_solve(
+        (chol, True), jnp.eye(n * s, dtype=D.dtype))
+    return {"levels": levels, "tail_inv": inv, "tail_n": n, "s": s}
 
 
 def bcr_solve(factor, b):
@@ -98,8 +108,7 @@ def bcr_solve(factor, b):
         rhs_stack.append(b_odd)
         b = b_new
     n_tail = factor["tail_n"]
-    x = jax.scipy.linalg.cho_solve(
-        (factor["chol"], True), b.reshape(n_tail * s)).reshape(n_tail, s)
+    x = (factor["tail_inv"] @ b.reshape(n_tail * s)).reshape(n_tail, s)
     for lv, b_odd in zip(reversed(levels), reversed(rhs_stack)):
         # x currently holds the even-indexed solution of this level
         x_next = jnp.concatenate(

@@ -99,7 +99,14 @@ def test_lightglue_beats_raw_matching_under_noise():
     (measured sweep: lg 0.94-0.98 vs raw ~0.87), which is also the
     operating regime of real verification (weak-but-not-destroyed
     descriptors); above it this compact 3-layer model degrades below
-    the baseline and the classical mutual matcher should be preferred."""
+    the baseline and the classical mutual matcher should be preferred.
+
+    Round-4 re-attempt (VERDICT item 8), measured negative: an 800-step
+    continuation at noise band 0.55-0.97 left sigma-0.85 F1 at 0.708 vs
+    raw 0.837 (shipped: 0.728) and slightly hurt 0.8 (0.854 vs 0.880),
+    with 0.6/0.7 unchanged — the band does NOT extend at this model
+    capacity; matching where mutual-NN is already flat-robust needs a
+    deeper model (and a re-bench of its per-pair device cost)."""
     from cslam_tpu.models.lightglue import LightGlueNet
     from cslam_tpu.models.train_lightglue import eval_matching
     import jax.numpy as jnp
@@ -273,3 +280,68 @@ def test_trained_inter_robot_verification():
     t_rel = pose0[0].T @ (pose1[1] - pose0[1])
     np.testing.assert_allclose(lc.pose[0], R_rel, atol=0.05)
     np.testing.assert_allclose(lc.pose[1], t_rel, atol=0.15)
+
+
+@needs_sp
+def test_detector_domain_breadth_gates():
+    """Round-4 widened domain gates on the SHIPPED detector: black /
+    texture / real-photo backgrounds, texture-blob scenes, and real
+    photographs must all yield usable detection counts.
+
+    Measured history (round 4): the round-2 'fails with <10 detections
+    on black/texture backgrounds' known-limit is STALE — the shipped
+    weights (post r2 descriptor retrain) measure >=13 on every probe
+    family below. Three mixed-background continuation runs were
+    attempted to widen further and all measured NET NEGATIVE
+    (lr 3e-4 diverged outright; lr 8e-5 dropped blob scenes 26 -> 5
+    and real frames 128 -> 56-95 because photo backgrounds carry real
+    unlabeled corners whose dustbin labels teach suppression; adding
+    Shi-Tomasi ignore-mask cells — synthetic_shapes.
+    background_corner_cells, kept for future real-data training —
+    recovered real frames to 69-113 but not the rest). This test pins
+    the breadth the shipped checkpoint actually has."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_rgbd_handler import render_scene, make_pose
+    from cslam_tpu.models.superpoint import SuperPoint
+    from cslam_tpu.models.synthetic_shapes import render_shapes
+    from cslam_tpu.utils.image_sequence import open_sequence
+
+    sp = SuperPoint(checkpoint=zoo.shipped_checkpoint(
+        "superpoint_synth.npz"), max_keypoints=128)
+
+    for bg in ("black", "texture", "photo"):
+        counts = []
+        for seed in range(8):
+            rng = np.random.default_rng(seed)
+            img, _ = render_shapes(rng, 120, 160, background=bg,
+                                   n_primitives=4)
+            _, _, _, mask = sp.extract_features(img)
+            counts.append(int(np.asarray(mask).sum()))
+        counts.sort()
+        assert counts[0] >= 10, (bg, counts)
+        assert counts[len(counts) // 2] >= 15, (bg, counts)
+
+    # texture blobs on black (test_rgbd_handler's rendered scenes — the
+    # probe the stale known-limit cited)
+    rng = np.random.default_rng(0)
+    blob_counts = []
+    for k in range(6):
+        img, _depth = render_scene(make_pose(0.3 * k), rng)
+        gray = np.asarray(img, np.float32)
+        if gray.ndim == 3:
+            gray = gray.mean(-1)
+        if gray.max() > 1.5:
+            gray = gray / 255.0
+        _, _, _, mask = sp.extract_features(gray.astype(np.float32))
+        blob_counts.append(int(np.asarray(mask).sum()))
+    assert min(blob_counts) >= 15, blob_counts
+
+    # real photographs saturate the keypoint budget
+    seq = open_sequence(os.path.join(os.path.dirname(__file__), "data",
+                                     "real_seq"))
+    for i in (0, 5, 9, 14):
+        gray = np.asarray(seq.frame(i), np.float32).mean(-1) / 255.0
+        _, _, _, mask = sp.extract_features(gray)
+        assert int(np.asarray(mask).sum()) >= 100
