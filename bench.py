@@ -538,7 +538,11 @@ def bench_mac_scale(n_poses, n_cand=1024, k=16, iters=2):
                     mac.L_fixed, mac._e_i_d, mac._e_j_d, mac._weights_d,
                     mac._valid_d, mac.node_mask, w0, jnp.float32(1e-8),
                     mac._fixed_i, mac._fixed_j, mac._fixed_w, k=k,
-                    max_iters=20, num_nodes=mac._P,
+                    # Same FW budget as the wall path: MAC.fw_subset
+                    # caps matfree map-scale solves at fw_matfree_iters
+                    # (deeper FW measured WORSE post-refinement, see
+                    # sparsification/mac.py).
+                    max_iters=mac.fw_matfree_iters, num_nodes=mac._P,
                     fiedler_method="matfree",
                     lobpcg_iters=mac.lobpcg_iters,
                     lobpcg_block=mac.lobpcg_block,

@@ -132,6 +132,8 @@ DEFAULT_CANDIDATES = [
     ("tridiag25-gnclm1", dict(gnc_lm_iters=1)),
     ("tridiag25-init5", dict(lm_init_iters=5)),
     ("tridiag12", dict(cg_max_iters=12)),
+    ("gnclm1-init5", dict(gnc_lm_iters=1, lm_init_iters=5)),
+    ("gnclm1-init7", dict(gnc_lm_iters=1, lm_init_iters=7)),
 ]
 
 

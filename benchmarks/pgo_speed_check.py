@@ -19,11 +19,14 @@ def build(n, seed=2):
     rng = np.random.default_rng(seed)
     fg = FactorGraph()
     sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
+    # ONE batched se3_exp + ONE fetch: a per-factor jnp call here costs
+    # a relay roundtrip per factor on the tunnel backend (n=1000 built
+    # for 30+ min under relay-latency spikes)
+    xi = rng.standard_normal((n - 1, 6)).astype(np.float32) * 0.1
+    dR_all, dt_all = (np.asarray(a) for a in se3.se3_exp(jnp.asarray(xi)))
     for k in range(n - 1):
-        xi = rng.standard_normal(6).astype(np.float32) * 0.1
-        dR, dt_ = se3.se3_exp(jnp.asarray(xi))
-        fg.add_between(BetweenFactor((0, k), (0, k + 1), np.asarray(dR),
-                                     np.asarray(dt_), sq))
+        fg.add_between(BetweenFactor((0, k), (0, k + 1), dR_all[k],
+                                     dt_all[k], sq))
     for _ in range(max(20, n // 20)):
         i, j = sorted(rng.integers(0, n, size=2).tolist())
         if j - i < 2:

@@ -91,17 +91,20 @@ class PGOConfig(NamedTuple):
     cg_unroll: int = 4
     # LM budget inside GNC reweighting rounds. Each round only needs to
     # track the slowly-moving weighted optimum (warm-started, with the
-    # LM trust-region lambda carried across rounds) — the deep budget
-    # is spent on the initial unit-weight solve and the final polish.
-    # 2 steps/round x more rounds beats 5 x fewer on both wall-clock
-    # and inlier recall (weights actually reach binary convergence
-    # instead of hitting the outer cap). 0 = use lm_max_iters.
+    # LM trust-region lambda carried across rounds). ONE step per round
+    # matched two on a 16-seed mixed 10-60%-outlier sweep, but FAILS
+    # the single-gross-outlier structural case (test_pgo.py::
+    # test_single_gross_outlier_does_not_reject_true_loop): when the
+    # first reweighting zeroes every loop, one step per round cannot
+    # pull the estimate back before the anneal hardens, and the true
+    # loop stays rejected. Two is the floor. 0 = use lm_max_iters.
     gnc_lm_iters: int = 2
     # Budget for the initial unit-weight solve only. Driving it to full
     # convergence is wasted work — it exists to initialize mu from the
     # max residual, and the first GNC rounds reshuffle the weights
-    # anyway. 0 = use lm_max_iters.
-    lm_init_iters: int = 10
+    # anyway. 5 matches 10 on the same 16-seed sweep (ate/recall
+    # identical to 4 decimals). 0 = use lm_max_iters.
+    lm_init_iters: int = 5
     gnc_on_loops_only: bool = True
     # "pcg": matrix-free block-Jacobi PCG (O(E) memory, any size).
     # "dense": scatter-assembled 6Px6P Cholesky — one large kernel
@@ -287,8 +290,42 @@ def edge_transpose_operators(e_i, e_j, edge_mask, P, dtype):
     return idx, gather_x, jt_scatter
 
 
+def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
+    """Build the PCG preconditioner state from sqrt(weight)*mask-scaled
+    Jacobians. Returned pytree feeds _solve_normal_eqs(precond=...).
+
+    Built ONCE per LM solve, not per LM step: the Hii/O scatter-
+    assembly (~0.50 ms) plus the cyclic-reduction factorization
+    (~0.34 ms) were ~40% of a 2.1 ms LM step at P=1024 (round-4
+    microprof), and a preconditioner only steers CG — Jacobians and
+    lam drifting over a solve's steps costs at most a few extra CG
+    iterations inside the tolerance-gated loop, not correctness."""
+    P = g.R.shape[0]
+    Jst = jnp.concatenate([Ji, Jj], axis=0)
+    idx = jnp.concatenate([g.e_i, g.e_j], axis=0)
+    Hii = jnp.zeros((P, 6, 6), dtype=Ji.dtype)
+    Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
+    Hii = Hii.at[g.prior_idx].add(Jp.T @ Jp)
+    Hii = Hii + lam * jnp.eye(6, dtype=Ji.dtype)[None]
+    if getattr(cfg, "preconditioner", "tridiag") == "tridiag":
+        # Exact solve of M = tridiag(Hii, chain couplings) by block
+        # cyclic reduction: M is the full GN Hessian of the odometry
+        # chain (+lam, +prior) plus the PSD block-diagonal of loop
+        # contributions, so PCG is left with only the loop couplings —
+        # block-Jacobi alone burned the full CG budget every LM step
+        # (measured 50/50 at 1000 poses, round 4).
+        from cslam_tpu.ops.block_tridiag import (bcr_factor,
+                                                 chain_offdiag_from_edges)
+        O_chain = chain_offdiag_from_edges(g.e_i, g.e_j, Ji, Jj, P)
+        return ("tridiag", bcr_factor(Hii, O_chain))
+    # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is
+    # a ~730 us batched-LU call on TPU — the most expensive op in
+    # the whole LM body (ops/batched_linalg.py)
+    return ("jacobi", batched_inv_small(Hii))
+
+
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
-                      x0=None, cg_iters=None):
+                      x0=None, cg_iters=None, precond=None):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
     sqrt(weight)*mask (sw kept for the Hessian diag). Returns (P, 6).
 
@@ -300,7 +337,8 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
 
     `x0` warm-starts CG (the previous LM iteration's step): one extra
     matvec buys a residual that is already small when consecutive
-    trust-region subproblems are similar."""
+    trust-region subproblems are similar. `precond` reuses a
+    _build_precond result across LM steps (see there)."""
     P = g.R.shape[0]
     E = Ji.shape[0]
     Jst = jnp.concatenate([Ji, Jj], axis=0)           # (2E, 6, 6)
@@ -323,33 +361,17 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
         out = out.at[g.prior_idx].add(Jp.T @ (Jp @ x[g.prior_idx]))
         return out + lam * x
 
-    # Preconditioner. Both start from the block diagonal of H:
-    Hii = jnp.zeros((P, 6, 6), dtype=r.dtype)
-    Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
-    Hii = Hii.at[g.prior_idx].add(Jp.T @ Jp)
-    Hii = Hii + lam * jnp.eye(6, dtype=r.dtype)[None]
-    if getattr(cfg, "preconditioner", "tridiag") == "tridiag":
-        # Exact solve of M = tridiag(Hii, chain couplings) by block
-        # cyclic reduction: M is the full GN Hessian of the odometry
-        # chain (+lam, +prior) plus the PSD block-diagonal of loop
-        # contributions, so PCG is left with only the loop couplings —
-        # block-Jacobi alone burned the full CG budget every LM step
-        # (measured 50/50 at 1000 poses, round 4).
-        from cslam_tpu.ops.block_tridiag import (bcr_factor, bcr_solve,
-                                                 chain_offdiag_from_edges)
-        O_chain = chain_offdiag_from_edges(g.e_i, g.e_j, Ji, Jj, P)
-        bcr = bcr_factor(Hii, O_chain)
+    if precond is None:
+        precond = _build_precond(g, Ji, Jj, lam, cfg, Jp)
+    kind, state = precond
+    if kind == "tridiag":
+        from cslam_tpu.ops.block_tridiag import bcr_solve
 
         def apply_minv(v):
-            return bcr_solve(bcr, v) * g.node_mask[:, None]
+            return bcr_solve(state, v) * g.node_mask[:, None]
     else:
-        # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is
-        # a ~730 us batched-LU call on TPU — the most expensive op in
-        # the whole LM body (ops/batched_linalg.py)
-        Minv = batched_inv_small(Hii)
-
         def apply_minv(v):
-            return jnp.einsum("pij,pj->pi", Minv, v)
+            return jnp.einsum("pij,pj->pi", state, v)
 
     def dot(a, bb):
         return jnp.sum(a * bb)
@@ -412,47 +434,75 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
     about the local curvature and wastes the round's only step(s) on
     re-adapting lambda."""
     max_iters = cfg.lm_max_iters if max_iters is None else max_iters
+    sw = jnp.sqrt(jnp.maximum(weights * g.edge_mask, 0.0))
+    zeros6 = jnp.zeros(6, R.dtype)
+    use_dense = cfg.linear_solver == "dense" or (
+        cfg.linear_solver == "auto"
+        and 6 * g.R.shape[0] <= cfg.dense_threshold)
+
+    def eval_point(R, t):
+        """Residuals+Jacobians and exact cost at a point — the ONE
+        per-step evaluation. The candidate's evaluation doubles as the
+        accept-test cost (cost = 0.5 sum w |r|^2 from the residuals
+        already in hand) AND the next step's linearization; the old
+        structure evaluated residuals twice per step (resjac + a full
+        graph_cost re-evaluation, ~0.46 ms of a 2.1 ms step at P=1024,
+        round-4 microprof)."""
+        r, Ji, Jj = edge_residuals_jacobians(g, R, t)
+        rp = _prior_residual(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
+                             t[g.prior_idx], g.prior_weight)
+        cost = (jnp.sum(weights * g.edge_mask *
+                        0.5 * jnp.sum(r * r, axis=-1))
+                + 0.5 * jnp.sum(rp * rp))
+        return r, Ji, Jj, rp, cost
 
     def body(state):
-        R, t, lam, cost, it, done, dx_prev = state
-        r, Ji, Jj = edge_residuals_jacobians(g, R, t)
-        sw = jnp.sqrt(jnp.maximum(weights * g.edge_mask, 0.0))
+        R, t, lam, cost, it, done, dx_prev, r, Ji, Jj, rp = state
         r_s = r * sw[:, None]
         Ji_s = Ji * sw[:, None, None]
         Jj_s = Jj * sw[:, None, None]
-        zeros6 = jnp.zeros(6, R.dtype)
-        rp = _prior_residual(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
-                             t[g.prior_idx], g.prior_weight)
         Jp = _prior_jac(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
                         t[g.prior_idx], g.prior_weight)
-        use_dense = cfg.linear_solver == "dense" or (
-            cfg.linear_solver == "auto"
-            and 6 * g.R.shape[0] <= cfg.dense_threshold)
         if use_dense:
             dx = _solve_normal_eqs_dense(g, Ji_s, Jj_s, r_s, lam, Jp, rp)
         else:
             dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg,
-                                   x0=dx_prev, cg_iters=cg_iters)
+                                   x0=dx_prev, cg_iters=cg_iters,
+                                   precond=precond)
         Rc, tc = _retract(R, t, dx, g.node_mask)
-        cost_c = graph_cost(g, Rc, tc, weights)
+        r_c, Ji_c, Jj_c, rp_c, cost_c = eval_point(Rc, tc)
         accept = cost_c < cost
         R = jnp.where(accept, Rc, R)
         t = jnp.where(accept, tc, t)
+        r = jnp.where(accept, r_c, r)
+        Ji = jnp.where(accept, Ji_c, Ji)
+        Jj = jnp.where(accept, Jj_c, Jj)
+        rp = jnp.where(accept, rp_c, rp)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         rel = jnp.abs(cost - cost_c) / jnp.maximum(cost, 1e-30)
         done = accept & (rel < 1e-7)
         cost = jnp.where(accept, cost_c, cost)
-        return R, t, lam, cost, it + 1, done, dx
+        return R, t, lam, cost, it + 1, done, dx, r, Ji, Jj, rp
 
     def cond(state):
         it, done = state[4], state[5]
         return (it < max_iters) & (~done)
 
-    cost0 = graph_cost(g, R, t, weights)
+    r0e, Ji0, Jj0, rp0, cost0 = eval_point(R, t)
     lam_init = jnp.float32(cfg.lm_init_lambda) if lam0 is None else lam0
+    # Preconditioner built ONCE per LM solve from the entry
+    # linearization (see _build_precond for the staleness argument).
+    precond = None
+    if not use_dense:
+        Jp0 = _prior_jac(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
+                         t[g.prior_idx], g.prior_weight)
+        precond = _build_precond(g, Ji0 * sw[:, None, None],
+                                 Jj0 * sw[:, None, None], lam_init, cfg,
+                                 Jp0)
     dx0 = jnp.zeros((g.R.shape[0], 6), dtype=R.dtype)
-    state = (R, t, lam_init, cost0, jnp.int32(0), jnp.bool_(False), dx0)
-    R, t, lam, cost, _, _, _ = jax.lax.while_loop(cond, body, state)
+    state = (R, t, lam_init, cost0, jnp.int32(0), jnp.bool_(False), dx0,
+             r0e, Ji0, Jj0, rp0)
+    R, t, lam, cost = jax.lax.while_loop(cond, body, state)[:4]
     return R, t, cost, lam
 
 

@@ -47,6 +47,11 @@ from cslam_tpu.utils.edges import Edge
 # Above this node count the dense eigh Fiedler solve gives way to
 # matrix-free LOBPCG over edge lists (O(E) memory instead of O(P^2)).
 _LOBPCG_NODE_THRESHOLD = 2048
+# Matfree swap-refinement evaluates SWAP_K^2 one-edge-swapped selections
+# per round; up to this many nodes they run as ONE vmapped inverse-
+# iteration program ((SWAP_K^2, P) state is a few hundred KB), beyond it
+# sequentially via lax.map to bound memory.
+_REFINE_VMAP_MAX_P = 65536
 
 class DisconnectedGraphError(RuntimeError):
     """Raised when the (fixed + selected-candidate) graph is disconnected."""
@@ -317,8 +322,9 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
     # Matfree flavor of the same refinement: swaps are evaluated by
     # inverse iteration warm-started from the CURRENT selection's
     # converged Fiedler vector (one-edge perturbation => strong
-    # eigenvector continuity). Evaluations run sequentially (lax.map)
-    # to bound memory at map-scale P. The inverse-iteration estimates
+    # eigenvector continuity). Evaluations run as one vmapped batch up
+    # to _REFINE_VMAP_MAX_P nodes (sequentially beyond, to bound
+    # memory). The inverse-iteration estimates
     # are Rayleigh quotients of approximate vectors: one-sided
     # overestimates with measured rel error <= ~4e-4 at P up to 8192
     # (ops/fiedler.py) — the 1% accept margins below guarantee every
@@ -364,7 +370,17 @@ def _fw_subset(L_fixed, e_i, e_j, weights, valid, node_mask, w_init,
                 lam2, _ = eval_sel(s2, v, 8, 20)
                 return lam2
 
-            lam2s = jax.lax.map(swap_lam2, (aa, rr))
+            if node_mask.shape[0] <= _REFINE_VMAP_MAX_P:
+                # One BATCHED inverse-iteration program for all swap
+                # candidates: the sequential lax.map burned
+                # SWAP_K^2 x invit x cg serial CG trips of op-floor-
+                # sized (P,) arithmetic per refine round — ~80% of the
+                # whole map-scale solve's device time (round 4). A
+                # (SWAP_K^2, P) batch is only ~SWAP_K^2 * 4P bytes of
+                # state, far below any memory concern at these P.
+                lam2s = jax.vmap(swap_lam2)((aa, rr))
+            else:
+                lam2s = jax.lax.map(swap_lam2, (aa, rr))
             lam2s = jnp.where(swap_ok & can_swap, lam2s, -jnp.inf)
             best = jnp.argmax(lam2s)
             take = lam2s[best] > lam2_cur * 1.01
@@ -432,6 +448,9 @@ class MAC:
         # need detection ticks leaner still.
         self.refine_rounds = self._default_refine_rounds()
         self.swap_k = 4
+        # Matfree FW iteration cap (see fw_subset): deeper FW measured
+        # WORSE post-refinement at map scale.
+        self.fw_matfree_iters = 8
         if self.fiedler_method == "matfree":
             # dense (P, P) Laplacians are off the table at this size
             self.L_fixed = jnp.zeros((1, 1), dtype=jnp.float32)
@@ -520,6 +539,20 @@ class MAC:
         if self.m == 0 or k <= 0:
             return MACResult(np.zeros(self.m, np.float32),
                              np.zeros(self.m, np.float32), float("inf"))
+        # Matfree FW caps at fw_matfree_iters: past ~8 iterations the
+        # 2/(it+2) steps spread w fractionally over MORE candidates and
+        # the top-k rounding gets WORSE — measured over 10 seeds at
+        # P=4096/8192 (round 4): post-refinement lambda2/greedy mean
+        # 2.99 at 8 iters vs 2.44 at 20, never below 2.46g vs a 1.00g
+        # worst case at 20. The swap refinement (not FW depth) carries
+        # selection quality on this path, and each saved iteration is a
+        # full inverse-iteration Fiedler solve of serial device time.
+        # Applied only at map scale (matfree-by-default sizes): on small
+        # graphs where matfree is merely forced for testing, deeper FW
+        # still helps.
+        if (self.fiedler_method == "matfree"
+                and self._P > _LOBPCG_NODE_THRESHOLD):
+            max_iters = min(max_iters, self.fw_matfree_iters)
         # FW support only grows, so connectivity at the initial iterate
         # implies connectivity at every iterate (see module docstring).
         self._check_connected(w_init)
