@@ -75,16 +75,19 @@ def make_sphere_graph(n=2500, ring=50, meas_noise=0.02, seed=0):
 
 
 def main(n=2500):
+    import jax
     from cslam_tpu.backend import pgo
     from cslam_tpu.utils.evaluation import ate_rmse
 
+    platform = jax.devices()[0].platform
     fg, R_gt, t_gt, t_odom, n_loops = make_sphere_graph(n)
     print(f"sphere graph: {n} poses, {fg.num_factors} factors "
-          f"({n_loops} loops)", file=sys.stderr)
+          f"({n_loops} loops) on {platform}", file=sys.stderr)
     g = fg.to_arrays()
     ate_odom = ate_rmse(t_odom, t_gt)
 
     results = {"n_poses": n, "n_factors": fg.num_factors,
+               "platform": platform,
                "ate_odometry": ate_odom}
     for name, cfg in (
             ("plain", pgo.PGOConfig(lm_max_iters=30, cg_max_iters=100,

@@ -88,8 +88,8 @@ def _chain_tridiag_factor(g, w, anchor_w, couple_fwd, couple_rev, s):
     return bcr_factor(D, O.at[0].set(0.0))
 
 
-@jax.jit
-def chordal_initialize(g: GraphArrays):
+@functools.partial(jax.jit, static_argnames=("cg_iters",))
+def chordal_initialize(g: GraphArrays, cg_iters=None):
     """(R, t) initial estimates from the chordal relaxation of g's
     between-measurements. Anchor: the prior pose at g.prior_idx.
 
@@ -100,7 +100,8 @@ def chordal_initialize(g: GraphArrays):
     round 4); with the chain solved exactly PCG only works off the
     loop couplings."""
     P = g.R.shape[0]
-    cg_iters = min(max(100, P // 4), 600)
+    if cg_iters is None:
+        cg_iters = min(max(100, P // 4), 600)
     w = g.edge_mask
     anchor_w = 1e2
 

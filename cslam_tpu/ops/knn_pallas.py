@@ -50,6 +50,18 @@ With a 256-query batch every tile contains some query's next top-k
 candidate (P ~ 1-(1-k/t)^B), so merge work is irreducible at roughly
 one update per query per tile; the simple full-tile argmax trip is the
 cheapest per-update structure of the four designs measured.
+
+Round-4 addendum (1M rows x 512, bf16, B=256 — the regime where exact
+sits at ~2.4x the HBM floor): query_groups=4 (merge gated/looped per
+64-query slice) measured 2.93 ms/batch vs 3.06 at G=1 — a real but
+marginal 4% (BENCH_DETAIL knn_1m pallas_exact_g4). The remaining gap
+is irreducible merge updates, not gating: at 1M rows each query
+expects ~k*ln(512) ~ 60 updates and they spread over most tiles at any
+grouping. The threshold-certificate two-pass was already measured
+LOSING at 100k (r2); with the per-update floor above it cannot win at
+1M either (candidate tiles are ~all tiles for any whole-batch
+threshold). approx_max_k (1.57 ms, recall 0.95) remains the documented
+pick when 1M-row throughput matters more than exactness.
 """
 
 import functools
