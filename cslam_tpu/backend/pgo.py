@@ -303,10 +303,15 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
     P = g.R.shape[0]
     Jst = jnp.concatenate([Ji, Jj], axis=0)
     idx = jnp.concatenate([g.e_i, g.e_j], axis=0)
-    Hii = jnp.zeros((P, 6, 6), dtype=Ji.dtype)
-    Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
-    Hii = Hii.at[g.prior_idx].add(Jp.T @ Jp)
-    Hii = Hii + lam * jnp.eye(6, dtype=Ji.dtype)[None]
+    # Scatter through the flat (P, 36) view: index scatters on a
+    # trailing (6, 6) minor are tile-padded per block and cost ~6.5x
+    # (measured 1.69 vs 0.26 ms at 16k rows on v5e — see
+    # ops/block_tridiag.bcr_solve_multi).
+    Hii = jnp.zeros((P, 36), dtype=Ji.dtype)
+    Hii = Hii.at[idx].add(
+        jnp.einsum("eoi,eoj->eij", Jst, Jst).reshape(-1, 36))
+    Hii = Hii.at[g.prior_idx].add((Jp.T @ Jp).reshape(36))
+    Hii = Hii.reshape(P, 6, 6) + lam * jnp.eye(6, dtype=Ji.dtype)[None]
     if getattr(cfg, "preconditioner", "tridiag") == "tridiag":
         # Exact solve of M = tridiag(Hii, chain couplings) by block
         # cyclic reduction: M is the full GN Hessian of the odometry

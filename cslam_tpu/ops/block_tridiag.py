@@ -124,6 +124,69 @@ def bcr_solve(factor, b):
     return x
 
 
+def bcr_solve_multi(factor, b):
+    """Solve M x = b for m right-hand sides at once. b: (n, m, s) —
+    rhs axis FIRST, so b[p] is an (m, s) row-major block and the flat
+    (n, m*s) view is contiguous.
+
+    Layout rules this encodes (measured on v5e, P=16384, s=m=3):
+    - arrays with a trailing 2-D minor shape like (n, 3, 3) are tile-
+      padded per block: a strided .at[0::2].set or index scatter on
+      them costs 6.5x the same op on the flat (n, 9) view (1.69 vs
+      0.26 ms). ALL data movement here (slices, sets, tail reshape)
+      happens on the flat view; the (m, s) structure exists only
+      inside einsums.
+    - a vmap over the rhs axis re-traces nothing but strides
+      everything: measured 9x a single solve. This routine is the
+      fix — every op simply widens by m.
+    """
+    levels = factor["levels"]
+    s = factor["s"]
+    n, m, _ = b.shape
+    b = b.reshape(n, m * s)
+
+    def bmul(A, bflat):
+        # block-apply on the last axis: out[k, r, i] = A[k] @ b[k, r]
+        blk = bflat.reshape(-1, m, s)
+        out = jnp.einsum("kij,krj->kri", A, blk)
+        return out.reshape(-1, m * s)
+
+    def bmul_t(A, bflat):
+        blk = bflat.reshape(-1, m, s)
+        out = jnp.einsum("kji,krj->kri", A, blk)
+        return out.reshape(-1, m * s)
+
+    rhs_stack = []
+    for lv in levels:
+        b_even, b_odd = b[0::2], b[1::2]
+        b_odd_prev = jnp.concatenate(
+            [jnp.zeros_like(b_odd[:1]), b_odd[:-1]], axis=0)
+        b_new = (b_even
+                 - bmul(lv["L"], b_odd_prev)
+                 - bmul(lv["R"], b_odd))
+        rhs_stack.append(b_odd)
+        b = b_new
+    n_tail = factor["tail_n"]
+    # tail wants (n_tail*s, m): (n_tail, m, s) -> transpose the tiny
+    # tail block only
+    tail_b = b.reshape(n_tail, m, s).transpose(0, 2, 1).reshape(
+        n_tail * s, m)
+    x = (factor["tail_inv"] @ tail_b).reshape(n_tail, s, m)
+    x = x.transpose(0, 2, 1).reshape(n_tail, m * s)
+    for lv, b_odd in zip(reversed(levels), reversed(rhs_stack)):
+        x_next = jnp.concatenate(
+            [x[1:], jnp.zeros_like(x[:1])], axis=0)
+        O_even_next = jnp.concatenate(
+            [lv["O_even"][1:], jnp.zeros_like(lv["O_even"][:1])], axis=0)
+        rhs_odd = (b_odd
+                   - bmul(lv["O_odd"], x)
+                   - bmul_t(O_even_next, x_next))
+        x_odd = bmul(lv["Dinv_odd"], rhs_odd)
+        full = jnp.zeros((2 * x.shape[0], m * s), dtype=x.dtype)
+        x = full.at[0::2].set(x).at[1::2].set(x_odd)
+    return x.reshape(-1, m, s)
+
+
 def chain_offdiag_from_edges(e_i, e_j, Ji, Jj, P):
     """(P, 6, 6) sub-diagonal blocks O[m] = H[m, m-1] from the CHAIN
     edges (|e_i - e_j| == 1) of a stacked edge list; O[0] = 0.
@@ -139,10 +202,12 @@ def chain_offdiag_from_edges(e_i, e_j, Ji, Jj, P):
     fwd = (e_j == e_i + 1)
     rev = (e_i == e_j + 1)
     # H[e_j, e_i] += Jj^T Ji   (fwd: e_j = e_i + 1 -> row m = e_j)
-    cross_ji = jnp.einsum("eoi,eoj->eij", Jj, Ji)
+    cross_ji = jnp.einsum("eoi,eoj->eij", Jj, Ji).reshape(-1, s * s)
     # H[e_i, e_j] += Ji^T Jj   (rev: e_i = e_j + 1 -> row m = e_i)
-    cross_ij = jnp.einsum("eoi,eoj->eij", Ji, Jj)
-    O = jnp.zeros((P, s, s), dtype=Ji.dtype)
-    O = O.at[e_j].add(jnp.where(fwd[:, None, None], cross_ji, 0.0))
-    O = O.at[e_i].add(jnp.where(rev[:, None, None], cross_ij, 0.0))
-    return O.at[0].set(0.0)
+    cross_ij = jnp.einsum("eoi,eoj->eij", Ji, Jj).reshape(-1, s * s)
+    # flat (P, s*s) scatter: trailing 2-D minors scatter ~6.5x slower
+    # (see bcr_solve_multi's layout notes)
+    O = jnp.zeros((P, s * s), dtype=Ji.dtype)
+    O = O.at[e_j].add(jnp.where(fwd[:, None], cross_ji, 0.0))
+    O = O.at[e_i].add(jnp.where(rev[:, None], cross_ij, 0.0))
+    return O.reshape(P, s, s).at[0].set(0.0)

@@ -138,9 +138,12 @@ def distributed_gnc_optimize(mesh: Mesh, g: GraphArrays,
                     out = out.at[gl.prior_idx].add(Jp.T @ (Jp @ x[gl.prior_idx]))
                     return out + lam * x
 
-                Hii = jnp.zeros((Pn, 6, 6), dtype=r.dtype)
-                Hii = Hii.at[idx].add(jnp.einsum("eoi,eoj->eij", Jst, Jst))
-                Hii = psum(Hii)
+                # flat (Pn, 36) scatter — trailing (6, 6) minors
+                # scatter ~6.5x slower (ops/block_tridiag layout notes)
+                Hii = jnp.zeros((Pn, 36), dtype=r.dtype)
+                Hii = Hii.at[idx].add(
+                    jnp.einsum("eoi,eoj->eij", Jst, Jst).reshape(-1, 36))
+                Hii = psum(Hii).reshape(Pn, 6, 6)
                 Hii = Hii.at[gl.prior_idx].add(Jp.T @ Jp)
                 Minv = batched_inv_small(Hii + lam * jnp.eye(6)[None])
                 apply_minv = lambda v: jnp.einsum("pij,pj->pi", Minv, v)

@@ -95,3 +95,19 @@ def test_chain_offdiag_extraction():
     np.testing.assert_allclose(O[6], 0.0, atol=1e-7)
     assert np.allclose(O[0], 0.0) and np.allclose(O[1], 0.0)
     np.testing.assert_allclose(O[3], 0.0, atol=1e-7)
+
+
+@pytest.mark.parametrize("n,s,m", [(16, 3, 3), (256, 3, 3), (64, 6, 2)])
+def test_bcr_solve_multi_matches_per_rhs(n, s, m):
+    """bcr_solve_multi (rhs-first flat layout) must agree with m
+    independent bcr_solve calls to float tolerance."""
+    from cslam_tpu.ops.block_tridiag import bcr_solve_multi
+    D, O = random_spd_tridiag(n, s, seed=7 * n + s)
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((n, m, s)).astype(np.float32)
+    fac = bcr_factor(jnp.asarray(D), jnp.asarray(O))
+    x_multi = np.asarray(bcr_solve_multi(fac, jnp.asarray(b)))
+    for r in range(m):
+        x_single = np.asarray(bcr_solve(fac, jnp.asarray(b[:, r, :])))
+        np.testing.assert_allclose(x_multi[:, r, :], x_single,
+                                   rtol=2e-5, atol=2e-6)
