@@ -169,8 +169,9 @@ def run_eval(R, t, n_robots, kf_distance=2.0, drift=0.01, budget=8,
                          seed=seed)
     router = InProcessRouter()
     clock = ManualClock()
+    # full-depth GNC anneal — see lidar_mission_bench on the outer cap
     cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
-                        gnc_max_outer_iters=6, use_chordal_init=True)
+                        use_chordal_init=True)
     nodes, handlers, odom = {}, {}, {}
 
     class _Model:

@@ -190,8 +190,10 @@ def main(n_robots=3, n_poses=12, budget=6, place_model="auto",
         # cosplace 0.75 -> 32 verified LCs / 4.07x ATE improvement vs
         # 15 / 3.29x at the gridstats threshold 0.93)
         sim_threshold = 0.75 if place_name.startswith("cosplace") else 0.93
-    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
-                        gnc_max_outer_iters=6)
+    # full GNC anneal depth (library default): rounds are cheap with the
+    # round-4 solver (2 warm-started LM steps each) and capping them at
+    # 6 measured 0.059 vs 0.035 final ATE on the lidar mission
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80)
     nodes, handlers = {}, {}
     for rid in range(n_robots):
         bus = InProcessBus(router, rid)

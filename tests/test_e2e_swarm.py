@@ -58,8 +58,10 @@ def build_swarm(n_robots, n_poses, seed=0, drift=0.02, budget=5):
     clock = ManualClock()
     world = SyntheticWorld(n_robots, n_poses, seed=seed)
     nodes, handlers, odom = {}, {}, {}
-    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80,
-                        gnc_max_outer_iters=6)
+    # full GNC anneal depth (library default): rounds are cheap with the
+    # round-4 solver (2 warm-started LM steps each) and capping them at
+    # 6 measured 0.059 vs 0.035 final ATE on the lidar mission
+    cfg = pgo.PGOConfig(lm_max_iters=15, cg_max_iters=80)
     for rid in range(n_robots):
         bus = InProcessBus(router, rid)
         params = make_params(rid, n_robots, budget)
