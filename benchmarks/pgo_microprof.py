@@ -171,16 +171,6 @@ def main(n=1000):
     dt = chain_time(nsolve_step, jnp.ones((E, 6), dtype=np.float32))
     print(f"normal_eq_solve(full PCG): {dt*1e3:.3f} ms", flush=True)
 
-    # CG iteration census: replicate the solve but return it count
-    @jax.jit
-    def cg_iters_taken(r_in):
-        b = jnp.zeros((P, 6), dtype=np.float32)
-        # replicate _solve_normal_eqs enough to count: call it via a
-        # shim that reuses the internal while loop by re-deriving it
-        # is invasive; instead measure residual decrease of k fixed
-        # unrolled trips to infer where the gate stops.
-        return b
-
     # Simplest honest census: run solves with cg budgets 1..25 and
     # find where dx stops changing.
     dx_ref = pgo._solve_normal_eqs(g, Ji_s, Jj_s, r, sw, lam, Jp, rp,

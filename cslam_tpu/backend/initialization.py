@@ -80,13 +80,17 @@ def _chain_tridiag_factor(g, w, anchor_w, couple_fwd, couple_rev, s):
     dscale = deg + 1e-6
     dscale = dscale.at[g.prior_idx].add(anchor_w)
     D = dscale[:, None, None] * jnp.eye(s, dtype=w.dtype)[None]
-    fwd = ((g.e_j == g.e_i + 1) & (w > 0))[:, None, None]
-    rev = ((g.e_i == g.e_j + 1) & (w > 0))[:, None, None]
-    O = jnp.zeros((P, s, s), dtype=w.dtype)
-    wb = w[:, None, None]
-    O = O.at[g.e_j].add(jnp.where(fwd, -couple_fwd * wb, 0.0))
-    O = O.at[g.e_i].add(jnp.where(rev, -couple_rev * wb, 0.0))
-    return bcr_factor(D, O.at[0].set(0.0))
+    # flat (P, s*s) scatter — trailing (s, s) minors scatter ~6.5x
+    # slower (ops/block_tridiag layout notes)
+    fwd = ((g.e_j == g.e_i + 1) & (w > 0))[:, None]
+    rev = ((g.e_i == g.e_j + 1) & (w > 0))[:, None]
+    O = jnp.zeros((P, s * s), dtype=w.dtype)
+    wb = w[:, None]
+    O = O.at[g.e_j].add(
+        jnp.where(fwd, -couple_fwd.reshape(-1, s * s) * wb, 0.0))
+    O = O.at[g.e_i].add(
+        jnp.where(rev, -couple_rev.reshape(-1, s * s) * wb, 0.0))
+    return bcr_factor(D, O.reshape(P, s, s).at[0].set(0.0))
 
 
 @functools.partial(jax.jit, static_argnames=("cg_iters",))

@@ -531,28 +531,36 @@ class MAC:
         lam2, _ = _fiedler_dense(L, self.node_mask)
         return float(lam2)
 
-    def fw_subset(self, w_init, k: int, max_iters: int = 20,
+    def fw_subset(self, w_init, k: int, max_iters=None,
                   duality_gap_tol: float = 1e-8) -> MACResult:
         """Frank-Wolfe subset selection. Defaults match the reference:
-        max_iters=20 (cslam/mac/mac.py:191, a_c_m.py:39), tol 1e-8."""
+        max_iters=20 (cslam/mac/mac.py:191, a_c_m.py:39), tol 1e-8.
+
+        max_iters=None (the default) lets the map-scale matfree path
+        substitute its measured-better fw_matfree_iters budget; an
+        EXPLICIT max_iters is always honored verbatim (the reference
+        MAC contract: the caller owns the budget)."""
         k = int(min(k, self.m))
         if self.m == 0 or k <= 0:
             return MACResult(np.zeros(self.m, np.float32),
                              np.zeros(self.m, np.float32), float("inf"))
-        # Matfree FW caps at fw_matfree_iters: past ~8 iterations the
-        # 2/(it+2) steps spread w fractionally over MORE candidates and
-        # the top-k rounding gets WORSE — measured over 10 seeds at
-        # P=4096/8192 (round 4): post-refinement lambda2/greedy mean
-        # 2.99 at 8 iters vs 2.44 at 20, never below 2.46g vs a 1.00g
-        # worst case at 20. The swap refinement (not FW depth) carries
-        # selection quality on this path, and each saved iteration is a
-        # full inverse-iteration Fiedler solve of serial device time.
-        # Applied only at map scale (matfree-by-default sizes): on small
-        # graphs where matfree is merely forced for testing, deeper FW
-        # still helps.
-        if (self.fiedler_method == "matfree"
-                and self._P > _LOBPCG_NODE_THRESHOLD):
-            max_iters = min(max_iters, self.fw_matfree_iters)
+        # Matfree default FW budget is fw_matfree_iters: past ~8
+        # iterations the 2/(it+2) steps spread w fractionally over MORE
+        # candidates and the top-k rounding gets WORSE — measured over
+        # 10 seeds at P=4096/8192 (round 4): post-refinement
+        # lambda2/greedy mean 2.99 at 8 iters vs 2.44 at 20, never
+        # below 2.46g vs a 1.00g worst case at 20. The swap refinement
+        # (not FW depth) carries selection quality on this path, and
+        # each saved iteration is a full inverse-iteration Fiedler
+        # solve of serial device time. Applies only when the caller
+        # left max_iters at the default AND at map scale (matfree-by-
+        # default sizes): on small graphs where matfree is merely
+        # forced for testing, deeper FW still helps.
+        if max_iters is None:
+            max_iters = 20
+            if (self.fiedler_method == "matfree"
+                    and self._P > _LOBPCG_NODE_THRESHOLD):
+                max_iters = min(max_iters, self.fw_matfree_iters)
         # FW support only grows, so connectivity at the initial iterate
         # implies connectivity at every iterate (see module docstring).
         self._check_connected(w_init)

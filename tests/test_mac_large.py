@@ -79,9 +79,51 @@ def test_warm_lobpcg_matches_eigh_quality():
 
 
 def test_reference_defaults_pinned():
-    """Defaults must match the reference: fw_subset max_iters=20,
-    duality-gap tol 1e-8 (reference mac.py:191, a_c_m.py:39)."""
+    """Defaults must match the reference: fw_subset max_iters resolves
+    to 20, duality-gap tol 1e-8 (reference mac.py:191, a_c_m.py:39).
+    max_iters defaults to a None sentinel so an EXPLICIT caller budget
+    is always honored while the default can take the measured-better
+    matfree cap at map scale."""
     import inspect
     sig = inspect.signature(MAC.fw_subset)
-    assert sig.parameters["max_iters"].default == 20
+    assert sig.parameters["max_iters"].default is None
     assert sig.parameters["duality_gap_tol"].default == 1e-8
+
+
+def test_explicit_max_iters_honored_on_matfree():
+    """An explicit max_iters must NOT be clamped to fw_matfree_iters
+    (advisor round-4 finding): the caller owns the budget."""
+    rng = np.random.default_rng(5)
+    n = 40
+    fixed = [Edge(i, i + 1, 1.0) for i in range(n - 1)]
+    cand = [Edge(int(a), int(b), float(w)) for a, b, w in zip(
+        rng.integers(0, n, 30), rng.integers(0, n, 30),
+        rng.uniform(0.2, 1.0, 30)) if a != b]
+    mac = MAC(fixed, cand, n)
+    mac.fiedler_method = "matfree"
+    mac.fw_matfree_iters = 1
+    seen = {}
+    orig = mac.__class__.fw_subset
+
+    w0 = np.zeros(len(cand), np.float32)
+    w0[: min(4, len(cand))] = 1.0
+    # trace through _fw_subset's max_iters by monkeypatching the jitted
+    # entry is invasive; instead assert via the resolution logic itself:
+    # default -> capped only at map scale (small P here, so 20), explicit
+    # deep budget -> passed through.
+    import cslam_tpu.sparsification.mac as mac_mod
+    calls = []
+    real_fw = mac_mod._fw_subset
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("max_iters"))
+        return real_fw(*args, **kwargs)
+
+    mac_mod._fw_subset = spy
+    try:
+        mac.fw_subset(w0, 4, max_iters=17)
+        mac.fw_subset(w0, 4)
+    finally:
+        mac_mod._fw_subset = real_fw
+    assert calls[0] == 17
+    assert calls[1] == 20  # small P: no matfree cap on the default
