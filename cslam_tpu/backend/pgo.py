@@ -37,6 +37,29 @@ from cslam_tpu.ops.batched_linalg import batched_inv_small
 from cslam_tpu.ops import se3
 
 
+class EdgeReduce(NamedTuple):
+    """Cross-shard reductions for factor-sharded solves.
+
+    The GNC-LM core is written against LOCAL edge arrays plus these two
+    hooks: `sum` all-reduces edge-summed quantities (costs, gradients,
+    Hessian blocks), `max` all-reduces edge maxima (GNC mu init,
+    weight-stability checks). Single-chip passes red=None (identity);
+    parallel/distributed_pgo.py passes psum/pmax over the mesh axis —
+    the two paths share every line of solver code, so round-4 wins
+    (BCR chain preconditioner built once per solve, single-eval LM,
+    lam/warm-start carry) apply to both by construction."""
+    sum: object
+    max: object
+
+
+def _rsum(red, x):
+    return x if red is None else red.sum(x)
+
+
+def _rmax(red, x):
+    return x if red is None else red.max(x)
+
+
 class PGOResult(NamedTuple):
     R: jnp.ndarray
     t: jnp.ndarray
@@ -211,11 +234,12 @@ def _prior_residual(xi, Rp, tp, Rx, tx, w):
 _prior_jac = jax.jacfwd(_prior_residual, argnums=0)
 
 
-def graph_cost(g: GraphArrays, R, t, weights):
-    """Robust weighted cost 0.5 sum w_e ||r_e||^2 (+ prior)."""
+def graph_cost(g: GraphArrays, R, t, weights, red=None):
+    """Robust weighted cost 0.5 sum w_e ||r_e||^2 (+ prior). The edge
+    sum is reduced across shards (red), the prior is replicated."""
     r = edge_residuals(g, R, t)
     u = 0.5 * jnp.sum(r * r, axis=-1)
-    cost = jnp.sum(weights * g.edge_mask * u)
+    cost = _rsum(red, jnp.sum(weights * g.edge_mask * u))
     rp = _prior_residual(jnp.zeros(6, R.dtype), g.prior_R, g.prior_t,
                          R[g.prior_idx], t[g.prior_idx], g.prior_weight)
     return cost + 0.5 * jnp.sum(rp * rp)
@@ -297,7 +321,7 @@ def edge_transpose_operators(e_i, e_j, edge_mask, P, dtype):
     return idx, gather_x, jt_scatter
 
 
-def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
+def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp, red=None):
     """Build the PCG preconditioner state from sqrt(weight)*mask-scaled
     Jacobians. Returned pytree feeds _solve_normal_eqs(precond=...).
 
@@ -306,7 +330,12 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
     (~0.34 ms) were ~40% of a 2.1 ms LM step at P=1024 (round-4
     microprof), and a preconditioner only steers CG — Jacobians and
     lam drifting over a solve's steps costs at most a few extra CG
-    iterations inside the tolerance-gated loop, not correctness."""
+    iterations inside the tolerance-gated loop, not correctness.
+
+    Sharded (red != None): the edge-scattered Hii/O contributions are
+    psum'ed, then the BCR factorization runs REPLICATED per chip (poses
+    are replicated) — two (P, 36)-sized collectives per LM solve, zero
+    extra ICI inside the CG loop."""
     P = g.R.shape[0]
     Jst = jnp.concatenate([Ji, Jj], axis=0)
     idx = jnp.concatenate([g.e_i, g.e_j], axis=0)
@@ -317,6 +346,7 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
     Hii = jnp.zeros((P, 36), dtype=Ji.dtype)
     Hii = Hii.at[idx].add(
         jnp.einsum("eoi,eoj->eij", Jst, Jst).reshape(-1, 36))
+    Hii = _rsum(red, Hii)
     Hii = Hii.at[g.prior_idx].add((Jp.T @ Jp).reshape(36))
     Hii = Hii.reshape(P, 6, 6) + lam * jnp.eye(6, dtype=Ji.dtype)[None]
     if getattr(cfg, "preconditioner", "tridiag") == "tridiag":
@@ -328,7 +358,8 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
         # (measured 50/50 at 1000 poses, round 4).
         from cslam_tpu.ops.block_tridiag import (bcr_factor,
                                                  chain_offdiag_from_edges)
-        O_chain = chain_offdiag_from_edges(g.e_i, g.e_j, Ji, Jj, P)
+        O_chain = _rsum(red, chain_offdiag_from_edges(
+            g.e_i, g.e_j, Ji, Jj, P).reshape(P, 36)).reshape(P, 6, 6)
         return ("tridiag", bcr_factor(Hii, O_chain))
     # batched unrolled Gauss-Jordan: jnp.linalg.inv on (P, 6, 6) is
     # a ~730 us batched-LU call on TPU — the most expensive op in
@@ -337,7 +368,7 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp):
 
 
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
-                      x0=None, cg_iters=None, precond=None):
+                      x0=None, cg_iters=None, precond=None, red=None):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
     sqrt(weight)*mask (sw kept for the Hessian diag). Returns (P, 6).
 
@@ -362,19 +393,20 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
         y2 = jnp.concatenate([y, y], axis=0)
         return jt_scatter(jnp.einsum("eoi,eo->ei", Jst, y2))
 
-    # gradient b = -J^T r  (E-batched)
-    b = -jt_apply(r)
+    # gradient b = -J^T r  (E-batched; edge scatter psum'ed when
+    # sharded, prior added replicated post-reduce)
+    b = -_rsum(red, jt_apply(r))
     b = b.at[g.prior_idx].add(-Jp.T @ rp)
 
     def hvp(x):
         part = jnp.einsum("eoi,ei->eo", Jst, gather_x(x))
         y = part[:E] + part[E:]
-        out = jt_apply(y)
+        out = _rsum(red, jt_apply(y))
         out = out.at[g.prior_idx].add(Jp.T @ (Jp @ x[g.prior_idx]))
         return out + lam * x
 
     if precond is None:
-        precond = _build_precond(g, Ji, Jj, lam, cfg, Jp)
+        precond = _build_precond(g, Ji, Jj, lam, cfg, Jp, red=red)
     kind, state = precond
     if kind == "tridiag":
         from cslam_tpu.ops.block_tridiag import bcr_solve
@@ -437,7 +469,7 @@ def _retract(R, t, dx, node_mask):
 # Levenberg-Marquardt with GNC weights
 # ----------------------------------------------------------------------
 def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
-                 max_iters=None, lam0=None, cg_iters=None):
+                 max_iters=None, lam0=None, cg_iters=None, red=None):
     """Runs up to max_iters damped Gauss-Newton steps from (R, t).
 
     lam0 carries the trust-region state across GNC reweighting rounds:
@@ -448,9 +480,11 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
     max_iters = cfg.lm_max_iters if max_iters is None else max_iters
     sw = jnp.sqrt(jnp.maximum(weights * g.edge_mask, 0.0))
     zeros6 = jnp.zeros(6, R.dtype)
-    use_dense = cfg.linear_solver == "dense" or (
+    # sharded mode always uses PCG: assembling the dense (6P, 6P)
+    # Hessian would psum a P*P*36 array per step for no win
+    use_dense = red is None and (cfg.linear_solver == "dense" or (
         cfg.linear_solver == "auto"
-        and 6 * g.R.shape[0] <= cfg.dense_threshold)
+        and 6 * g.R.shape[0] <= cfg.dense_threshold))
 
     def eval_point(R, t):
         """Residuals+Jacobians and exact cost at a point — the ONE
@@ -463,8 +497,8 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
         r, Ji, Jj = edge_residuals_jacobians(g, R, t)
         rp = _prior_residual(zeros6, g.prior_R, g.prior_t, R[g.prior_idx],
                              t[g.prior_idx], g.prior_weight)
-        cost = (jnp.sum(weights * g.edge_mask *
-                        0.5 * jnp.sum(r * r, axis=-1))
+        cost = (_rsum(red, jnp.sum(weights * g.edge_mask *
+                                   0.5 * jnp.sum(r * r, axis=-1)))
                 + 0.5 * jnp.sum(rp * rp))
         return r, Ji, Jj, rp, cost
 
@@ -480,7 +514,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
         else:
             dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg,
                                    x0=dx_prev, cg_iters=cg_iters,
-                                   precond=precond)
+                                   precond=precond, red=red)
         Rc, tc = _retract(R, t, dx, g.node_mask)
         r_c, Ji_c, Jj_c, rp_c, cost_c = eval_point(Rc, tc)
         accept = cost_c < cost
@@ -510,7 +544,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
                          t[g.prior_idx], g.prior_weight)
         precond = _build_precond(g, Ji0 * sw[:, None, None],
                                  Jj0 * sw[:, None, None], lam_init, cfg,
-                                 Jp0)
+                                 Jp0, red=red)
     dx0 = jnp.zeros((g.R.shape[0], 6), dtype=R.dtype)
     state = (R, t, lam_init, cost0, jnp.int32(0), jnp.bool_(False), dx0,
              r0e, Ji0, Jj0, rp0)
@@ -531,16 +565,23 @@ def _gnc_weights_tls(u, mu, barc_sq):
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
-    """Full GNC-TLS robust PGO from the graph's stored initial estimates."""
+def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None) -> PGOResult:
+    """GNC-TLS robust PGO from the graph's stored initial estimates.
+
+    `red=None` is the single-chip path (see gnc_optimize); an EdgeReduce
+    makes the SAME code run with factor shards and replicated poses
+    inside a shard_map (parallel/distributed_pgo.py) — every decision
+    variable (costs, mu, lambda, accept flags) is computed from reduced
+    quantities and therefore identical on every chip."""
     if cfg.use_chordal_init:
+        assert red is None, \
+            "chordal init runs on the full edge set; initialize before sharding"
         from cslam_tpu.backend.initialization import chordal_initialize
         R0, t0 = chordal_initialize(g)
         g = g._replace(R=R0, t=t0)
     R0, t0 = g.R, g.t
     ones = jnp.ones_like(g.edge_mask)
-    initial_cost = graph_cost(g, R0, t0, ones)
+    initial_cost = graph_cost(g, R0, t0, ones, red=red)
 
     robust_mask = g.is_loop if cfg.gnc_on_loops_only else g.edge_mask
 
@@ -549,12 +590,12 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     gnc_cg = cfg.gnc_cg_max_iters if cfg.gnc_cg_max_iters > 0 \
         else cfg.cg_max_iters
     R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg, max_iters=lm_init,
-                                   cg_iters=gnc_cg)
+                                   cg_iters=gnc_cg, red=red)
 
     r = edge_residuals(g, R1, t1)
     u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
     u_robust = u * robust_mask
-    max_u = jnp.max(u_robust)
+    max_u = _rmax(red, jnp.max(u_robust))
     # gtsam initializeMu (TLS): mu0 = barcSq / (2 rmax^2 - barcSq);
     # non-positive => all residuals already inliers, no GNC needed.
     denom = 2.0 * max_u - cfg.barc_sq
@@ -574,7 +615,7 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     def body(state):
         it, R, t, mu, w, lam, _ = state
         R, t, _, lam = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm,
-                                    lam0=lam, cg_iters=gnc_cg)
+                                    lam0=lam, cg_iters=gnc_cg, red=red)
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
@@ -585,8 +626,9 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
         # everywhere => frac == 0) while the anneal would recover the
         # true inliers two rounds later — observed on a 60-pose circle
         # with a 9-meter outlier closure.
-        frac = jnp.sum(w_new * (1.0 - w_new) * robust_mask)
-        stable = jnp.max(jnp.abs(w_new - w) * robust_mask) < 1e-3
+        frac = _rsum(red, jnp.sum(w_new * (1.0 - w_new) * robust_mask))
+        stable = _rmax(red,
+                       jnp.max(jnp.abs(w_new - w) * robust_mask)) < 1e-3
         done = (frac < 1e-5) & stable
         return it + 1, R, t, mu * cfg.mu_step, w_new, lam, done
 
@@ -596,9 +638,15 @@ def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
     gnc_iters, R, t, _, w, lam, _ = jax.lax.while_loop(cond, body, init)
 
     # Final polish with converged weights
-    R, t, cost, _ = _lm_optimize(g, R, t, w, cfg, lam0=lam)
+    R, t, cost, _ = _lm_optimize(g, R, t, w, cfg, lam0=lam, red=red)
     return PGOResult(R=R, t=t, cost=cost, initial_cost=initial_cost,
                      gnc_iters=gnc_iters, weights=w)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def gnc_optimize(g: GraphArrays, cfg: PGOConfig = PGOConfig()) -> PGOResult:
+    """Full GNC-TLS robust PGO from the graph's stored initial estimates."""
+    return gnc_optimize_core(g, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
