@@ -25,9 +25,12 @@ import jax.numpy as jnp
 from cslam_tpu.ops.laplacian import laplacian_matvec
 
 
-@functools.partial(jax.jit, static_argnames=("invit_iters", "cg_iters"))
+@functools.partial(jax.jit, static_argnames=("invit_iters", "cg_iters",
+                                             "return_iters"))
 def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
-                         invit_iters=12, cg_iters=24, eps=1e-6):
+                         invit_iters=12, cg_iters=24, eps=1e-6,
+                         invit_tol=1e-6, cg_tol=1e-8,
+                         return_iters=False):
     """Matrix-free Fiedler pair by INVERSE iteration — the map-scale
     path where LOBPCG on the flipped operator is numerically blind.
 
@@ -50,8 +53,25 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
       cancellation, f32-accurate at any scale (the flipped Rayleigh
       quotient sigma - theta is pure cancellation).
 
-    Returns (lambda_2, v). v0 warm-starts the iteration (carry it
-    across Frank-Wolfe steps).
+    invit_iters / cg_iters are CAPS, not fixed costs (round-4 verdict:
+    the fixed 12x24 budget had no gate at all). Both loops are
+    tolerance-gated while_loops:
+    - CG stops at relative squared residual < cg_tol (warm
+      preconditioned solves of a near-converged vector exit in a few
+      trips);
+    - inverse iteration stops when successive normalized iterates
+      align to |<x_k, x_{k-1}>| > 1 - invit_tol (a floor of 2
+      iterations guards the gate against a lucky first alignment).
+    Alignment 1-1e-6 bounds the residual angle at ~1e-3, and the
+    quadratic-form eigenvalue error is O(angle^2 * lambda_3/lambda_2)
+    ~ 4e-6 relative on chain-like spectra — far inside the 1% accept
+    margins MAC's safeguard/refinement require.
+
+    Returns (lambda_2, v), plus (invit_taken, cg_taken_total) when
+    return_iters — used by tests to prove the gates FIRE (the round-3
+    GNC-ICP lesson: audit every convergence gate).
+
+    v0 warm-starts the iteration (carry it across Frank-Wolfe steps).
     """
     from cslam_tpu.ops.block_tridiag import bcr_factor, bcr_solve
 
@@ -83,20 +103,25 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
 
     def cg_solve(b):
         b = project(b)
+        bb = jnp.maximum(jnp.dot(b, b), 1e-30)
         x = jnp.zeros_like(b)
         r = b
         z = minv(r)
         p = z
         rz = jnp.dot(r, z)
 
-        def body(_, st):
-            x, r, p, rz = st
+        def cond(st):
+            it, _, r, _, _ = st
+            return (it < cg_iters) & (jnp.dot(r, r) > cg_tol * bb)
+
+        def body(st):
+            it, x, r, p, rz = st
             Ap = project(lap(p))
             pAp = jnp.dot(p, Ap)
             # freeze once converged: past machine precision alpha/beta
             # overflow (rz underflows, pAp hits the null space) and a
-            # fori_loop body that keeps stepping turns that into NaN —
-            # observed at invit_iters >= 12 on converged chains
+            # body that keeps stepping turns that into NaN — observed
+            # at invit_iters >= 12 on converged chains
             ok = (rz > 1e-25) & (pAp > 1e-30) & jnp.isfinite(pAp)
             alpha = jnp.where(ok, rz / jnp.maximum(pAp, 1e-30), 0.0)
             x = x + alpha * p
@@ -104,10 +129,12 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
             z = minv(r)
             rz_new = jnp.dot(r, z)
             beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
-            return x, r, z + beta * p, jnp.where(ok, rz_new, rz)
+            return (it + 1, x, r, z + beta * p,
+                    jnp.where(ok, rz_new, rz))
 
-        x, _, _, _ = jax.lax.fori_loop(0, cg_iters, body, (x, r, p, rz))
-        return x
+        it, x, _, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), x, r, p, rz))
+        return x, it
 
     if v0 is None:
         v0 = jax.random.normal(jax.random.PRNGKey(13), (P,),
@@ -115,15 +142,26 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
     x = project(v0)
     x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
 
-    def invit(_, x):
-        x = cg_solve(x)
-        x = project(x)
-        return x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+    def invit_cond(st):
+        it, _, align, _ = st
+        return (it < invit_iters) & ((it < 2) | (align < 1.0 - invit_tol))
 
-    x = jax.lax.fori_loop(0, invit_iters, invit, x)
+    def invit_body(st):
+        it, x, _, cg_total = st
+        y, cg_it = cg_solve(x)
+        y = project(y)
+        y = y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
+        align = jnp.abs(jnp.dot(y, x))
+        return it + 1, y, align, cg_total + cg_it
+
+    invit_taken, x, _, cg_total = jax.lax.while_loop(
+        invit_cond, invit_body,
+        (jnp.int32(0), x, jnp.float32(0.0), jnp.int32(0)))
     # quadratic form: non-negative terms only, f32-exact at any scale
     dx = x[e_i] - x[e_j]
     lam2 = jnp.sum(weights * dx * dx) / jnp.maximum(jnp.dot(x, x), 1e-30)
+    if return_iters:
+        return lam2, x, invit_taken, cg_total
     return lam2, x
 
 

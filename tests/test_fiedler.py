@@ -89,6 +89,49 @@ def test_lobpcg_fiedler_matches_dense():
     np.testing.assert_allclose(float(lam2_l), vals[1], rtol=5e-2)
 
 
+def test_inverse_iteration_gates_fire_and_stay_accurate():
+    """The invit/CG convergence gates (round-4 verdict: the fixed 12x24
+    budget had no gate at all) must actually FIRE — a warm-started call
+    exits at the 2-iteration floor with far fewer total CG trips — and
+    the gated result must stay accurate against a float64 eigh
+    reference."""
+    rng = np.random.default_rng(3)
+    n = 512  # long chain: slowest spectrum, the hard case
+    e_i = np.arange(n - 1, dtype=np.int32)
+    e_j = np.arange(1, n, dtype=np.int32)
+    w = np.ones(n - 1, np.float32)
+    for _ in range(12):
+        a, b = rng.choice(n, 2, replace=False)
+        e_i = np.append(e_i, np.int32(a))
+        e_j = np.append(e_j, np.int32(b))
+        w = np.append(w, np.float32(0.5 + rng.random()))
+    mask = np.ones(n, np.float32)
+
+    lam_cold, v_cold, it_cold, cg_cold = fiedler.fiedler_pair_inverse(
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(w),
+        jnp.asarray(mask), invit_iters=12, cg_iters=24,
+        return_iters=True)
+    # warm start from the converged vector: the gate must exit at the
+    # 2-iteration floor with a fraction of the CG work
+    lam_warm, _, it_warm, cg_warm = fiedler.fiedler_pair_inverse(
+        jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(w),
+        jnp.asarray(mask), v0=v_cold, invit_iters=12, cg_iters=24,
+        return_iters=True)
+    assert int(it_warm) == 2, int(it_warm)
+    assert int(cg_warm) < int(cg_cold), (int(cg_warm), int(cg_cold))
+
+    # accuracy vs float64 eigh
+    L = np.zeros((n, n))
+    for a, b, ww in zip(e_i, e_j, w):
+        L[a, a] += ww
+        L[b, b] += ww
+        L[a, b] -= ww
+        L[b, a] -= ww
+    vals = np.linalg.eigh(L)[0]
+    for lam in (float(lam_cold), float(lam_warm)):
+        assert abs(lam - vals[1]) / vals[1] < 2e-3, (lam, vals[1])
+
+
 def test_fiedler_dense_squaring_matches_eigh():
     """The LAPACK-free matrix-squaring Fiedler evaluation agrees with
     the eigh path on MAC-shaped graphs (chains + random candidates —
