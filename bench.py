@@ -369,11 +369,14 @@ def bench_knn_1m(jnp):
     return out
 
 
-def bench_mac(np_mod, iters=5):
+def bench_mac(np_mod, iters=5, n_poses=500, n_cand=200, k=10):
+    """Dense-path MAC solve. n_poses=500 is the mission-bucket
+    headline; n_poses=2048 fills BASELINE.md's matched-scale row
+    against the reference's measured 2048/200/10 tracemin_lu solve
+    (round-4 verdict item 2a)."""
     from cslam_tpu.sparsification.mac import MAC
     from cslam_tpu.utils.edges import Edge
     rng = np.random.default_rng(1)
-    n_poses, n_cand, k = 500, 200, 10
     fixed = [Edge(i, i + 1, 1.0) for i in range(n_poses - 1)]
     cand = [
         Edge(int(rng.integers(n_poses)), int(rng.integers(n_poses)),
@@ -420,13 +423,16 @@ def bench_mac(np_mod, iters=5):
                     max_iters=20, num_nodes=mac._P,
                     fiedler_method=mac.fiedler_method,
                     lobpcg_iters=mac.lobpcg_iters,
-                    lobpcg_block=mac.lobpcg_block)
+                    lobpcg_block=mac.lobpcg_block,
+                    refine_rounds=mac.refine_rounds, swap_k=mac.swap_k)
                 return acc + wr + w, None
             acc, _ = jax.lax.scan(
                 step, jnp.zeros_like(mac._valid_d), keys[:m])
             return acc
 
-        k1, k2, reps = 4, 12, 3
+        # shorter chains at 2048: each dense-path solve is ~16x the
+        # 500-pose one, and the delta already clears the relay jitter
+        k1, k2, reps = (4, 12, 3) if n_poses <= 1000 else (2, 6, 3)
         for m in (k1, k2):
             np.asarray(chain(m, jax.random.split(jax.random.PRNGKey(7), m)))
         slopes = []
@@ -450,7 +456,7 @@ def bench_mac(np_mod, iters=5):
     except Exception as exc:
         _log(f"mac device-slope failed: {type(exc).__name__}: "
              f"{str(exc)[:100]}")
-    _log(f"mac: {dt*1e3:.1f} ms wall"
+    _log(f"mac_{n_poses}: {dt*1e3:.1f} ms wall"
          + (f" / {dt_dev*1e3:.1f} ms device" if dt_dev else "")
          + f" per solve ({n_poses} poses, {n_cand} candidates, "
          f"budget {k}, 20 FW iters)")
@@ -575,11 +581,32 @@ def bench_mac_scale(n_poses, n_cand=1024, k=16, iters=2):
         _log(f"mac_{n_poses} device-slope failed: {type(exc).__name__}: "
              f"{str(exc)[:100]}")
     out["solve_device_ms"] = dt_dev * 1e3 if dt_dev else None
+
+    # Matched reference row (round-4 verdict item 2a): identical graph
+    # construction (seed 5) and init scheme, so both the solve time AND
+    # the rounded selection's lambda_2 compare directly against the
+    # reference's tracemin_lu fw_subset (BASELINE_MEASURED.json).
+    try:
+        with open("benchmarks/BASELINE_MEASURED.json") as f:
+            ref = json.load(f).get(f"mac_fw_subset_{n_poses}")
+        if ref and ref.get("n_candidates") == n_cand \
+                and ref.get("budget") == k:
+            out["reference_solve_ms"] = ref["solve_ms"]
+            out["vs_reference_wall"] = ref["solve_ms"] / (dt * 1e3)
+            if dt_dev:
+                out["vs_reference_device"] = ref["solve_ms"] / (dt_dev * 1e3)
+            out["reference_rounded_lambda2"] = ref["rounded_lambda2"]
+            out["lambda2_vs_reference"] = lam_fw / ref["rounded_lambda2"]
+    except (OSError, KeyError, ValueError):
+        pass
     _log(f"mac_{n_poses}: {dt*1e3:.1f} ms wall"
          + (f" / {dt_dev*1e3:.1f} ms device" if dt_dev else "")
          + f" per matfree solve ({n_cand} cand, budget {k}); "
          f"lambda2 fw/greedy = {out['quality_vs_greedy']:.2f} "
-         f"[{'ok' if quality_ok else 'BELOW GREEDY'}]")
+         f"[{'ok' if quality_ok else 'BELOW GREEDY'}]"
+         + (f"; vs reference {out['vs_reference_wall']:.1f}x wall, "
+            f"lambda2 {out['lambda2_vs_reference']:.2f}x"
+            if "vs_reference_wall" in out else ""))
     return out
 
 
@@ -1033,6 +1060,29 @@ def bench_relay_sync_floor(iters=12):
     return floor
 
 
+def _mac_vs_reference(rows):
+    """Wall/device ratios vs the measured reference tracemin_lu rows
+    (identical seed-1 inputs; BASELINE_MEASURED.json) for the dense-path
+    MAC entries — fills BASELINE.md's blank ratio cells (round-4
+    verdict item 2a)."""
+    out = {}
+    try:
+        with open("benchmarks/BASELINE_MEASURED.json") as f:
+            measured = json.load(f)
+    except (OSError, ValueError):
+        return out
+    for name, (dt, dt_dev) in rows.items():
+        ref = measured.get(f"mac_fw_subset_{name}")
+        if not ref or not dt:
+            continue
+        entry = {"reference_solve_ms": ref["solve_ms"],
+                 "vs_reference_wall": ref["solve_ms"] / (dt * 1e3)}
+        if dt_dev:
+            entry["vs_reference_device"] = ref["solve_ms"] / (dt_dev * 1e3)
+        out[name] = entry
+    return out
+
+
 def main():
     import jax
 
@@ -1058,6 +1108,13 @@ def main():
     qps, knn_detail = bench_knn(jnp, knn)
     knn_1m = bench_knn_1m(jnp)
     mac_dt, mac_dev = bench_mac(np)
+    # matched-scale row vs the reference's measured 2048/200/10
+    # tracemin_lu solve (BASELINE_MEASURED.json mac_fw_subset_2048)
+    try:
+        mac2048_dt, mac2048_dev = bench_mac(np, iters=3, n_poses=2048)
+    except Exception as exc:
+        mac2048_dt = mac2048_dev = None
+        _log(f"mac_2048 failed: {type(exc).__name__}: {str(exc)[:120]}")
     mac_scale = {}
     for p_scale in (4096, 8192):
         try:
@@ -1114,6 +1171,12 @@ def main():
         "mac_solve_ms_500poses_200cand": mac_dt * 1e3,
         "mac_device_ms_500poses_200cand": (mac_dev * 1e3
                                            if mac_dev else None),
+        "mac_solve_ms_2048poses_200cand": (mac2048_dt * 1e3
+                                           if mac2048_dt else None),
+        "mac_device_ms_2048poses_200cand": (mac2048_dev * 1e3
+                                            if mac2048_dev else None),
+        "mac_vs_reference": _mac_vs_reference(
+            {"500": (mac_dt, mac_dev), "2048": (mac2048_dt, mac2048_dev)}),
         "mac_map_scale": mac_scale,
         "pgo_gnc_lm_solve_ms_1000poses": pgo_dt * 1e3,
         "pgo_gnc_lm_solve_ms_500poses": pgo_500_dt * 1e3,

@@ -185,6 +185,53 @@ def bench_reference_mac(ref_mac, ref_mac_utils, n_poses=500, n_cand=200,
     }
 
 
+def _mac_scale_inputs(ref_mac_utils, n_poses, n_cand, seed=5):
+    """Identical input construction to bench.py::bench_mac_scale
+    (deduped long-range candidates, weights in [0.05, 1.05))."""
+    rng = np.random.default_rng(seed)
+    fixed = [ref_mac_utils.Edge(i, i + 1, 1.0) for i in range(n_poses - 1)]
+    cand, seen = [], set()
+    while len(cand) < n_cand:
+        i, j = sorted(rng.integers(0, n_poses, size=2).tolist())
+        if j - i < 2 or (i, j) in seen:
+            continue
+        seen.add((i, j))
+        cand.append(ref_mac_utils.Edge(i, j, float(rng.random()) + 0.05))
+    return fixed, cand
+
+
+def bench_reference_mac_scale(ref_mac, ref_mac_utils, n_poses, n_cand=1024,
+                              k=16, iters=2, max_fw_iters=20):
+    """Reference MAC.fw_subset at MAP scale (4096/8192 poses, 1024
+    candidates, budget 16) — the matched baseline for bench.py's
+    mac_4096/mac_8192 matfree entries (round-4 verdict item 2a: the
+    map-scale speedup was never actually measured)."""
+    fixed, cand = _mac_scale_inputs(ref_mac_utils, n_poses, n_cand)
+    mac = ref_mac.MAC(fixed, cand, n_poses)
+    inits = []
+    for s in range(iters + 1):
+        w0 = np.zeros(n_cand)
+        pick = np.random.default_rng(s).choice(n_cand, k, replace=False)
+        w0[pick] = 1.0
+        inits.append(w0)
+    w, _, _ = mac.fw_subset(inits[-1], k, max_iters=max_fw_iters)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        w, _, _ = mac.fw_subset(inits[i], k, max_iters=max_fw_iters)
+        times.append(time.perf_counter() - t0)
+    lam2 = mac.evaluate_objective(w)
+    return {
+        "solve_ms": statistics.median(times) * 1e3,
+        "n_poses": n_poses,
+        "n_candidates": n_cand,
+        "budget": k,
+        "max_fw_iters": max_fw_iters,
+        "rounded_lambda2": float(lam2),
+        "method": "tracemin_lu (networkx), reference default",
+    }
+
+
 def bench_reference_scancontext(ref_sc, n_cand=256, num_ring=20,
                                 num_sector=60, n_timed=16):
     """Reference ScanContext distance (scancontext_utils.py:78-114):
@@ -288,6 +335,16 @@ def main():
         out[f"mac_fw_subset_{n_poses}"] = r
         print(f"  {r['solve_ms']:.1f} ms/solve "
               f"(lambda2={r['rounded_lambda2']:.4f})", flush=True)
+
+    for n_poses in (4096, 8192):
+        print(f"reference MAC.fw_subset MAP SCALE ({n_poses} poses, "
+              f"1024 cand, budget 16, 20 FW iters, tracemin_lu)...",
+              flush=True)
+        r = bench_reference_mac_scale(ref_mac, ref_mac_utils,
+                                      n_poses=n_poses)
+        out[f"mac_fw_subset_{n_poses}"] = r
+        print(f"  {r['solve_ms']:.1f} ms/solve "
+              f"(lambda2={r['rounded_lambda2']:.6f})", flush=True)
 
     print("reference ScanContext distance (20x60, 60 shifts)...", flush=True)
     out["scancontext"] = bench_reference_scancontext(ref_sc)
