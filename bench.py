@@ -610,18 +610,18 @@ def bench_mac_scale(n_poses, n_cand=1024, k=16, iters=2):
     return out
 
 
-def bench_pgo(iters=3, n=1000):
+def _pgo_bench_graph(n):
+    """Realistic mixed benchmark graph: a ground-truth random walk,
+    noisy odometry factors with odometry-integrated initial estimates,
+    38 true loop closures + 12 gross outliers (25%). The previous
+    all-outlier variant (identity loops between random poses) was
+    pathological: GNC weights never reach binary convergence so every
+    while-loop runs to its cap — it measured the worst case, not the
+    workload. Shared by bench_pgo and bench_pgo_phases."""
     import jax.numpy as jnp
-    from cslam_tpu.backend import pgo
     from cslam_tpu.backend.factor_graph import (BetweenFactor, FactorGraph,
                                                 diag_sqrt_info)
     from cslam_tpu.ops import se3
-    # Realistic mixed graph: a ground-truth random walk, noisy odometry
-    # factors with odometry-integrated initial estimates, 38 true loop
-    # closures + 12 gross outliers (25%). The previous all-outlier
-    # variant (identity loops between random poses) was pathological:
-    # GNC weights never reach binary convergence so every while-loop
-    # runs to its cap — it measured the worst case, not the workload.
     rng = np.random.default_rng(2)
     fg = FactorGraph()
     sq = diag_sqrt_info([0.01] * 3 + [0.05] * 3)
@@ -661,6 +661,13 @@ def bench_pgo(iters=3, n=1000):
         fg.add_between(BetweenFactor((0, i), (0, j), Rm, tm, sq,
                                      is_loop=True))
     fg.set_prior((0, 0))
+    return fg
+
+
+def bench_pgo(iters=3, n=1000):
+    import jax.numpy as jnp
+    from cslam_tpu.backend import pgo
+    fg = _pgo_bench_graph(n)
     cfg = pgo.PGOConfig()  # library defaults — what a user's solve runs
     g = fg.to_arrays()
     # distinct initial estimates per timed call
@@ -729,6 +736,193 @@ def bench_pgo(iters=3, n=1000):
          f"{fg.num_factors} factors, solver="
          f"{'dense' if 6 * g.R.shape[0] <= cfg.dense_threshold else 'pcg'})")
     return dt, dt_dev
+
+
+def bench_pgo_phases(n=1000):
+    """Phase-level decomposition of the GNC-LM solve at n poses —
+    round-4 verdict item 7: where the ~100 ms @1000 goes (init LM /
+    GNC reweighting rounds / final polish), the LM-step and
+    CG-iteration census per phase, and how much of the measured device
+    time the op floor (residual+Jacobian eval, CG matvec, BCR
+    preconditioner apply/build) accounts for.
+
+    Phase times come from NESTED-PREFIX slope timing: three chained
+    programs run the solve truncated after init / after GNC / in full
+    (pgo.gnc_optimize_core(stop_after=...)); differences are per-phase
+    device times with relay overhead cancelled. Op slopes use
+    _slope_generic on the exact benchmark graph."""
+    import functools as _ft
+
+    import jax
+    import jax.numpy as jnp
+    from cslam_tpu.backend import pgo
+
+    fg = _pgo_bench_graph(n)
+    cfg = pgo.PGOConfig()
+    g = jax.device_put(fg.to_arrays())
+    P = g.R.shape[0]
+    out = {"n_poses": n, "P_padded": P, "E_padded": int(g.e_i.shape[0])}
+
+    # --- iteration census (one program, fetched once; not timed) ---
+    @jax.jit
+    def counted(gi):
+        res, stats = pgo.gnc_optimize_core(gi, cfg, count_iters=True)
+        return res.cost, stats
+
+    _, stats = jax.device_get(counted(g))
+    census = {k: int(v) for k, v in stats.items()}
+    out["iteration_census"] = census
+    lm_total = census["lm_init"] + census["lm_gnc"] + census["lm_polish"]
+    cg_total = census["cg_init"] + census["cg_gnc"] + census["cg_polish"]
+    n_lm_solves = 2 + census["gnc_rounds"]  # init + per-round + polish
+
+    # --- phase slopes (nested prefixes) ---
+    def chain_phase(stop_after, k1=3, k2=9, reps=3):
+        @_ft.partial(jax.jit, static_argnames=("m",))
+        def chain(m, keys):
+            def step(acc, key):
+                gi = g._replace(t=g.t + 0.01 * jax.random.normal(
+                    key, g.t.shape, g.t.dtype))
+                r = pgo.gnc_optimize_core(gi, cfg, stop_after=stop_after)
+                return acc + r.t, None
+            acc, _ = jax.lax.scan(step, jnp.zeros_like(g.t), keys[:m])
+            return acc
+
+        for m in (k1, k2):
+            np.asarray(chain(m, jax.random.split(jax.random.PRNGKey(7), m)))
+        slopes = []
+        for r in range(reps):
+            ks1 = jax.block_until_ready(
+                jax.random.split(jax.random.PRNGKey(2 * r), k1))
+            ks2 = jax.block_until_ready(
+                jax.random.split(jax.random.PRNGKey(2 * r + 1), k2))
+            t0 = time.perf_counter()
+            np.asarray(chain(k1, ks1))
+            t1 = time.perf_counter()
+            np.asarray(chain(k2, ks2))
+            t2 = time.perf_counter()
+            slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+        slopes.sort()
+        return slopes[len(slopes) // 2]
+
+    t_init = chain_phase("init")
+    t_gnc = chain_phase("gnc")
+    t_full = chain_phase("polish")
+    out["phase_ms"] = {
+        "init_lm": t_init * 1e3,
+        "gnc_rounds": (t_gnc - t_init) * 1e3,
+        "polish": (t_full - t_gnc) * 1e3,
+        "total": t_full * 1e3,
+    }
+
+    # --- op-floor slopes on the same graph/linearization ---
+    ones = jnp.ones_like(g.edge_mask)
+    sw = jnp.sqrt(jnp.maximum(ones * g.edge_mask, 0.0))
+    r0, Ji0, Jj0 = pgo.edge_residuals_jacobians(g, g.R, g.t)
+    Ji_s = Ji0 * sw[:, None, None]
+    Jj_s = Jj0 * sw[:, None, None]
+    Jst = jnp.concatenate([Ji_s, Jj_s], axis=0)
+    lam = jnp.float32(cfg.lm_init_lambda)
+    Jp = jnp.eye(6) * g.prior_weight
+
+    def resjac_step(tp, gc):
+        r2, Ji2, Jj2 = pgo.edge_residuals_jacobians(gc, gc.R, tp)
+        return jnp.stack([jnp.sum(r2), jnp.sum(Ji2), jnp.sum(Jj2)])
+
+    dt_resjac = _slope_generic(
+        resjac_step,
+        lambda seed: g.t + np.float32(seed) * 1e-9, consts=(g,))
+
+    def hvp_step(x, gc, Js):
+        idx, gather_x, jt_scatter = pgo.edge_transpose_operators(
+            gc.e_i, gc.e_j, gc.edge_mask, P, x.dtype)
+        E = gc.e_i.shape[0]
+        part = jnp.einsum("eoi,ei->eo", Js, gather_x(x))
+        y = part[:E] + part[E:]
+        y2 = jnp.concatenate([y, y], axis=0)
+        hv = jt_scatter(jnp.einsum("eoi,eo->ei", Js, y2)) + lam * x
+        return jnp.sum(hv, axis=0)
+
+    dt_hvp = _slope_generic(
+        hvp_step,
+        lambda seed: jnp.full((P, 6), 1.0 + seed * 1e-6, jnp.float32),
+        consts=(g, Jst))
+
+    kind, fac = pgo._build_precond(g, Ji_s, Jj_s, lam, cfg, Jp)
+    if kind == "tridiag":
+        from cslam_tpu.ops.block_tridiag import bcr_solve
+        tail_n, s = int(fac["tail_n"]), int(fac["s"])
+
+        def apply_step(b, levels, tail_inv):
+            fac2 = {"levels": levels, "tail_inv": tail_inv,
+                    "tail_n": tail_n, "s": s}
+            return jnp.sum(bcr_solve(fac2, b), axis=0)
+
+        dt_apply = _slope_generic(
+            apply_step,
+            lambda seed: jnp.full((P, 6), 1.0 + seed * 1e-6, jnp.float32),
+            consts=(fac["levels"], fac["tail_inv"]))
+    else:
+        def apply_step(b, Minv):
+            return jnp.sum(jnp.einsum("pij,pj->pi", Minv, b), axis=0)
+
+        dt_apply = _slope_generic(
+            apply_step,
+            lambda seed: jnp.full((P, 6), 1.0 + seed * 1e-6, jnp.float32),
+            consts=(fac,))
+
+    def build_step(Js, gc):
+        kind2, fac2 = pgo._build_precond(gc, Js[:Js.shape[0] // 2],
+                                         Js[Js.shape[0] // 2:], lam, cfg,
+                                         Jp)
+        if kind2 == "tridiag":
+            return jnp.stack([jnp.sum(fac2["tail_inv"]),
+                              jnp.sum(fac2["levels"][0]["L"]), 0.0])
+        return jnp.sum(fac2, axis=(0, 1))[:3]
+
+    dt_build = _slope_generic(
+        build_step, lambda seed: Jst * (1.0 + seed * 1e-9), consts=(g,))
+
+    out["op_floor_ms"] = {
+        "resjac_eval": dt_resjac * 1e3,
+        "cg_matvec": dt_hvp * 1e3,
+        "precond_apply": dt_apply * 1e3,
+        "precond_build": dt_build * 1e3,
+    }
+
+    # --- accounting: how much of the measured total is op-floor work —
+    # one resjac per LM step + one per LM-solve entry, one precond
+    # build per LM solve, (matvec + apply) per CG iteration. CG-loop
+    # vector arithmetic (axpys/dots) and retract/where glue are NOT
+    # counted, so accounted/total < 1 even at a perfect floor.
+    accounted = ((lm_total + n_lm_solves) * dt_resjac
+                 + n_lm_solves * dt_build
+                 + cg_total * (dt_hvp + dt_apply))
+    out["op_floor_accounted_ms"] = accounted * 1e3
+    pct = accounted / max(t_full, 1e-12)
+    out["op_floor_accounted_pct"] = pct * 100.0
+    if pct >= 0.55:
+        verdict = (
+            f"plateau is real: {pct*100:.0f}% of the measured device "
+            f"time is op-floor work ({lm_total} LM steps x resjac + "
+            f"{cg_total} CG iters x (matvec+apply) + {n_lm_solves} "
+            "preconditioner builds); the rest is CG-loop vector "
+            "arithmetic and control glue. The next lever is fewer "
+            "iterations, not faster ops.")
+    else:
+        verdict = (
+            f"only {pct*100:.0f}% of device time is accounted by the "
+            "op floor — per-iteration overhead (CG-loop axpys/dots, "
+            "while-loop dispatch, retract/where glue) dominates; "
+            "fusing CG steps harder (cg_unroll) or trimming LM/GNC "
+            "round counts is the next lever.")
+    out["verdict"] = verdict
+    _log(f"pgo_phases@{n}: init {out['phase_ms']['init_lm']:.1f} + gnc "
+         f"{out['phase_ms']['gnc_rounds']:.1f} + polish "
+         f"{out['phase_ms']['polish']:.1f} = {out['phase_ms']['total']:.1f}"
+         f" ms device; census {census}; op floor accounts "
+         f"{pct*100:.0f}%")
+    return out
 
 
 def _slope_generic(step, make_input, k1=32, k2=96, reps=5, consts=()):
@@ -1125,6 +1319,11 @@ def main():
             _log(f"mac_{p_scale} failed: {mac_scale[f'mac_{p_scale}']['error']}")
     pgo_dt, pgo_dev = bench_pgo(n=1000)  # PCG path (6P > dense threshold)
     pgo_500_dt, pgo_500_dev = bench_pgo(n=500)  # also PCG (padded 512)
+    try:
+        pgo_phases = bench_pgo_phases(n=1000)
+    except Exception as exc:
+        pgo_phases = {"error": f"{type(exc).__name__}: {str(exc)[:160]}"}
+        _log(f"pgo_phases failed: {pgo_phases['error']}")
     hot = bench_hot_loops()
 
     # Wall-minus-device gap vs the measured relay floor: a solve whose
@@ -1183,6 +1382,7 @@ def main():
         "pgo_device_ms_1000poses": pgo_dev * 1e3 if pgo_dev else None,
         "pgo_device_ms_500poses": (pgo_500_dev * 1e3
                                    if pgo_500_dev else None),
+        "pgo_phase_breakdown": pgo_phases,
         "relay_sync_floor_ms": relay_floor * 1e3,
         "wall_device_gap_vs_relay_floor": gap_checks,
         "hot_loops": hot,

@@ -29,6 +29,67 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def verification_breakdown(robots):
+    """Classify verification failures from the sim's ground-truth log
+    (SCALING.md §5, round-4 verdict item 5): each failure's TRUE
+    distance tells whether it was a near-miss of the geometric gate
+    (threshold artifact) or genuine non-overlap (robots far apart —
+    selection should have known better), and the broker's recorded
+    candidate weights tell whether descriptor similarity separates the
+    two populations (i.e. whether a selection-side floor can help)."""
+    logs = []
+    gate = None
+    for r in robots:
+        logs.extend(r.get("sim_verification_log") or [])
+        gate = r.get("sim_verification_gate_m", gate)
+    out = {"n_verifications": len(logs)}
+    if not logs or gate is None:
+        return out
+    fails = [v for v in logs if not v["success"]]
+    succs = [v for v in logs if v["success"]]
+    out["n_failed"] = len(fails)
+    out["fail_rate"] = len(fails) / len(logs)
+    out["gate_m"] = gate
+    # unique PAIRS (a pair can be verified twice when both endpoints
+    # land in the vertex cover via other edges)
+    pair = lambda v: (v["r0"], v["k0"], v["r1"], v["k1"])
+    uf, us = {pair(v) for v in fails}, {pair(v) for v in succs}
+    out["unique_pairs_failed"] = len(uf)
+    out["unique_pairs_verified"] = len(us)
+    out["unique_fail_rate"] = len(uf) / max(len(uf | us), 1)
+    if fails:
+        dists = sorted(v["distance"] for v in fails)
+        out["failed_distance_median_m"] = dists[len(dists) // 2]
+        out["failed_distance_p90_m"] = dists[int(len(dists) * 0.9)]
+        out["failed_near_gate_frac"] = sum(
+            1 for d in dists if d < 1.5 * gate) / len(dists)
+        out["failed_genuine_non_overlap_frac"] = sum(
+            1 for d in dists if d >= 2.0 * gate) / len(dists)
+        # failures by robot-index separation (circle centers drift
+        # apart with |rid0 - rid1| in the synthetic world)
+        by_sep = {}
+        for v in fails:
+            sep = abs(v["r0"] - v["r1"])
+            by_sep[sep] = by_sep.get(sep, 0) + 1
+        out["failed_by_robot_separation"] = {
+            str(k): v for k, v in sorted(by_sep.items())}
+    # candidate weights at verification time, from a NON-broker robot:
+    # the broker's own candidate table loses entries at selection time,
+    # so its outcome-time lookups return None (measured r5)
+    non_broker = [r for r in robots if r.get("detection_ticks", 0) == 0]
+    weights = max((r.get("verification_outcome_weights") or []
+                   for r in (non_broker or robots)), key=len)
+    w_fail = [w["weight"] for w in weights
+              if not w["success"] and w["weight"] is not None]
+    w_succ = [w["weight"] for w in weights
+              if w["success"] and w["weight"] is not None]
+    if w_fail:
+        out["failed_weight_mean"] = sum(w_fail) / len(w_fail)
+    if w_succ:
+        out["success_weight_mean"] = sum(w_succ) / len(w_succ)
+    return out
+
+
 def run_scale(n_robots, duration, base_port, sim_poses):
     out_dir = tempfile.mkdtemp(prefix=f"host_scaling_{n_robots}_")
     cmd = [
@@ -84,14 +145,24 @@ def run_scale(n_robots, duration, base_port, sim_poses):
         "broker_phase_ms": next(
             (r.get("detection_phase_ms") for r in robots
              if r.get("detection_ticks", 0) > 0), None),
-        "broker_detection_ticks": max(
+        # SUMMED over robots: brokership can move between robots while
+        # the election settles (measured r5: robot 1 ran 13 ticks
+        # before robot 0 took over), so a max() undercounts
+        "broker_detection_ticks": sum(
             r.get("detection_ticks", 0) for r in robots),
-        "candidates_selected_total": max(
+        "candidates_selected_total": sum(
             r.get("candidates_selected_total", 0) for r in robots),
         "candidates_still_pending": max(
             r.get("candidates_known", 0) for r in robots),
         "verification_failures": max(
             r.get("verification_failures", 0) for r in robots),
+        "verification_breakdown": verification_breakdown(robots),
+        # verified unique pairs per budgeted selection slot — the
+        # metric the round-4 verdict asked to raise at 8 robots
+        "verification_budget_efficiency": (
+            verification_breakdown(robots).get("unique_pairs_verified", 0) /
+            max(sum(r.get("candidates_selected_total", 0)
+                    for r in robots), 1)),
         "ate_odometry_m": ate_odo,
         "ate_optimized_m": ate_opt,
         "ate_improvement": (ate_odo / ate_opt)

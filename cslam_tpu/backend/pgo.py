@@ -368,7 +368,8 @@ def _build_precond(g: GraphArrays, Ji, Jj, lam, cfg, Jp, red=None):
 
 
 def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
-                      x0=None, cg_iters=None, precond=None, red=None):
+                      x0=None, cg_iters=None, precond=None, red=None,
+                      return_iters=False):
     """PCG solve of (J^T J + lam I) dx = -J^T r. Ji/Jj/r are pre-scaled by
     sqrt(weight)*mask (sw kept for the Hessian diag). Returns (P, 6).
 
@@ -453,9 +454,12 @@ def _solve_normal_eqs(g: GraphArrays, Ji, Jj, r, sw, lam, Jp, rp, cfg,
             rz = rz_new
         return it + unroll, x, rr, p, rz
 
-    _, dx, _, _, _ = jax.lax.while_loop(cond, body,
-                                        (jnp.int32(0), x0, r0, p0, rz0))
-    return dx * g.node_mask[:, None]
+    it, dx, _, _, _ = jax.lax.while_loop(cond, body,
+                                         (jnp.int32(0), x0, r0, p0, rz0))
+    dx = dx * g.node_mask[:, None]
+    if return_iters:
+        return dx, it
+    return dx
 
 
 def _retract(R, t, dx, node_mask):
@@ -469,14 +473,19 @@ def _retract(R, t, dx, node_mask):
 # Levenberg-Marquardt with GNC weights
 # ----------------------------------------------------------------------
 def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
-                 max_iters=None, lam0=None, cg_iters=None, red=None):
+                 max_iters=None, lam0=None, cg_iters=None, red=None,
+                 count_iters=False):
     """Runs up to max_iters damped Gauss-Newton steps from (R, t).
 
     lam0 carries the trust-region state across GNC reweighting rounds:
     with small per-round LM budgets (gnc_lm_iters 1-2) a fresh
     lm_init_lambda every round discards what the previous round learned
     about the local curvature and wastes the round's only step(s) on
-    re-adapting lambda."""
+    re-adapting lambda.
+
+    count_iters=True (a static flag, zero cost when off) additionally
+    returns (lm_steps_taken, cg_iterations_total) — the data behind
+    the phase-breakdown benchmark (bench.py::bench_pgo_phases)."""
     max_iters = cfg.lm_max_iters if max_iters is None else max_iters
     sw = jnp.sqrt(jnp.maximum(weights * g.edge_mask, 0.0))
     zeros6 = jnp.zeros(6, R.dtype)
@@ -503,7 +512,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
         return r, Ji, Jj, rp, cost
 
     def body(state):
-        R, t, lam, cost, it, done, dx_prev, r, Ji, Jj, rp = state
+        R, t, lam, cost, it, done, dx_prev, r, Ji, Jj, rp, cg_tot = state
         r_s = r * sw[:, None]
         Ji_s = Ji * sw[:, None, None]
         Jj_s = Jj * sw[:, None, None]
@@ -511,6 +520,12 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
                         t[g.prior_idx], g.prior_weight)
         if use_dense:
             dx = _solve_normal_eqs_dense(g, Ji_s, Jj_s, r_s, lam, Jp, rp)
+        elif count_iters:
+            dx, cg_it = _solve_normal_eqs(
+                g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg, x0=dx_prev,
+                cg_iters=cg_iters, precond=precond, red=red,
+                return_iters=True)
+            cg_tot = cg_tot + cg_it
         else:
             dx = _solve_normal_eqs(g, Ji_s, Jj_s, r_s, sw, lam, Jp, rp, cfg,
                                    x0=dx_prev, cg_iters=cg_iters,
@@ -528,7 +543,7 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
         rel = jnp.abs(cost - cost_c) / jnp.maximum(cost, 1e-30)
         done = accept & (rel < 1e-7)
         cost = jnp.where(accept, cost_c, cost)
-        return R, t, lam, cost, it + 1, done, dx, r, Ji, Jj, rp
+        return R, t, lam, cost, it + 1, done, dx, r, Ji, Jj, rp, cg_tot
 
     def cond(state):
         it, done = state[4], state[5]
@@ -547,8 +562,11 @@ def _lm_optimize(g: GraphArrays, R, t, weights, cfg: PGOConfig,
                                  Jp0, red=red)
     dx0 = jnp.zeros((g.R.shape[0], 6), dtype=R.dtype)
     state = (R, t, lam_init, cost0, jnp.int32(0), jnp.bool_(False), dx0,
-             r0e, Ji0, Jj0, rp0)
-    R, t, lam, cost = jax.lax.while_loop(cond, body, state)[:4]
+             r0e, Ji0, Jj0, rp0, jnp.int32(0))
+    final = jax.lax.while_loop(cond, body, state)
+    R, t, lam, cost = final[:4]
+    if count_iters:
+        return R, t, cost, lam, final[4], final[11]
     return R, t, cost, lam
 
 
@@ -565,14 +583,23 @@ def _gnc_weights_tls(u, mu, barc_sq):
     return w
 
 
-def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None) -> PGOResult:
+def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None,
+                      stop_after: str = "polish",
+                      count_iters: bool = False):
     """GNC-TLS robust PGO from the graph's stored initial estimates.
 
     `red=None` is the single-chip path (see gnc_optimize); an EdgeReduce
     makes the SAME code run with factor shards and replicated poses
     inside a shard_map (parallel/distributed_pgo.py) — every decision
     variable (costs, mu, lambda, accept flags) is computed from reduced
-    quantities and therefore identical on every chip."""
+    quantities and therefore identical on every chip.
+
+    stop_after / count_iters (static; zero cost at defaults) exist for
+    the phase-breakdown benchmark (bench.py::bench_pgo_phases):
+    stop_after in {"init", "gnc", "polish"} truncates the pipeline so
+    nested-prefix slope timings decompose the solve into phases;
+    count_iters additionally returns a dict of per-phase LM-step and
+    CG-iteration totals as a second output."""
     if cfg.use_chordal_init:
         assert red is None, \
             "chordal init runs on the full edge set; initialize before sharding"
@@ -589,8 +616,21 @@ def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None) -> PGOResult:
     lm_init = cfg.lm_init_iters if cfg.lm_init_iters > 0 else cfg.lm_max_iters
     gnc_cg = cfg.gnc_cg_max_iters if cfg.gnc_cg_max_iters > 0 \
         else cfg.cg_max_iters
-    R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg, max_iters=lm_init,
-                                   cg_iters=gnc_cg, red=red)
+    stats = {}
+    if count_iters:
+        R1, t1, _, lam1, stats["lm_init"], stats["cg_init"] = _lm_optimize(
+            g, R0, t0, ones, cfg, max_iters=lm_init, cg_iters=gnc_cg,
+            red=red, count_iters=True)
+    else:
+        R1, t1, _, lam1 = _lm_optimize(g, R0, t0, ones, cfg,
+                                       max_iters=lm_init, cg_iters=gnc_cg,
+                                       red=red)
+    if stop_after == "init":
+        result = PGOResult(R=R1, t=t1,
+                           cost=graph_cost(g, R1, t1, ones, red=red),
+                           initial_cost=initial_cost,
+                           gnc_iters=jnp.int32(0), weights=ones)
+        return (result, stats) if count_iters else result
 
     r = edge_residuals(g, R1, t1)
     u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
@@ -607,15 +647,22 @@ def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None) -> PGOResult:
         return jnp.where(robust_mask > 0, w, 1.0)
 
     def cond(state):
-        it, _, _, mu, _, _, done = state
+        it, done = state[0], state[6]
         return (it < cfg.gnc_max_outer_iters) & (~done)
 
     gnc_lm = cfg.gnc_lm_iters if cfg.gnc_lm_iters > 0 else cfg.lm_max_iters
 
     def body(state):
-        it, R, t, mu, w, lam, _ = state
-        R, t, _, lam = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm,
-                                    lam0=lam, cg_iters=gnc_cg, red=red)
+        it, R, t, mu, w, lam, _, lm_tot, cg_tot = state
+        if count_iters:
+            R, t, _, lam, lmN, cgN = _lm_optimize(
+                g, R, t, w, cfg, max_iters=gnc_lm, lam0=lam,
+                cg_iters=gnc_cg, red=red, count_iters=True)
+            lm_tot = lm_tot + lmN
+            cg_tot = cg_tot + cgN
+        else:
+            R, t, _, lam = _lm_optimize(g, R, t, w, cfg, max_iters=gnc_lm,
+                                        lam0=lam, cg_iters=gnc_cg, red=red)
         r = edge_residuals(g, R, t)
         u = 0.5 * jnp.sum(r * r, axis=-1) * g.edge_mask
         w_new = weights_for(mu, u)
@@ -630,17 +677,35 @@ def gnc_optimize_core(g: GraphArrays, cfg: PGOConfig, red=None) -> PGOResult:
         stable = _rmax(red,
                        jnp.max(jnp.abs(w_new - w) * robust_mask)) < 1e-3
         done = (frac < 1e-5) & stable
-        return it + 1, R, t, mu * cfg.mu_step, w_new, lam, done
+        return (it + 1, R, t, mu * cfg.mu_step, w_new, lam, done,
+                lm_tot, cg_tot)
 
     w0 = jnp.where(skip_gnc, ones, weights_for(mu0, u))
     init = (jnp.int32(0), R1, t1, jnp.maximum(mu0, 1e-6), w0, lam1,
-            jnp.bool_(skip_gnc))
-    gnc_iters, R, t, _, w, lam, _ = jax.lax.while_loop(cond, body, init)
+            jnp.bool_(skip_gnc), jnp.int32(0), jnp.int32(0))
+    gnc_iters, R, t, _, w, lam, _, lm_gnc, cg_gnc = jax.lax.while_loop(
+        cond, body, init)
+    if count_iters:
+        stats["gnc_rounds"] = gnc_iters
+        stats["lm_gnc"] = lm_gnc
+        stats["cg_gnc"] = cg_gnc
+    if stop_after == "gnc":
+        result = PGOResult(R=R, t=t,
+                           cost=graph_cost(g, R, t, w, red=red),
+                           initial_cost=initial_cost,
+                           gnc_iters=gnc_iters, weights=w)
+        return (result, stats) if count_iters else result
 
     # Final polish with converged weights
-    R, t, cost, _ = _lm_optimize(g, R, t, w, cfg, lam0=lam, red=red)
-    return PGOResult(R=R, t=t, cost=cost, initial_cost=initial_cost,
-                     gnc_iters=gnc_iters, weights=w)
+    if count_iters:
+        R, t, cost, _, stats["lm_polish"], stats["cg_polish"] = \
+            _lm_optimize(g, R, t, w, cfg, lam0=lam, red=red,
+                         count_iters=True)
+    else:
+        R, t, cost, _ = _lm_optimize(g, R, t, w, cfg, lam0=lam, red=red)
+    result = PGOResult(R=R, t=t, cost=cost, initial_cost=initial_cost,
+                       gnc_iters=gnc_iters, weights=w)
+    return (result, stats) if count_iters else result
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -40,6 +40,16 @@ class FrontendConfig:
     inter_robot_matches_topic: str = "inter_robot_matches"
     enable_sparsification: bool = True
     use_vertex_cover_selection: bool = True
+    # Minimum descriptor similarity for a candidate to ENTER budgeted
+    # selection (0 = off). Distinct from similarity_threshold (the
+    # detection gate): candidates just above the detection gate are
+    # overwhelmingly unverifiable — measured at 8 robots (SCALING.md
+    # §5): every failed verification carried weight <= 0.70 while
+    # successful ones had median 0.87, so a floor between the two
+    # spends the verification budget on candidates that can pass.
+    # Below-floor candidates STAY in the pool (a later re-observation
+    # can raise their weight via the max-weight dedup).
+    candidate_selection_min_weight: float = 0.0
     sensor_type: str = "stereo"  # stereo|rgbd|lidar
     # Sensor handler (map_manager / rgbd_handler params)
     max_queue_size: int = 10

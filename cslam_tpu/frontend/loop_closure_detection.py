@@ -105,6 +105,10 @@ class GlobalDescriptorLoopClosureDetection:
         self.tick_phase_ms = {"sparsification": 0.0, "broker": 0.0,
                               "publish": 0.0, "knn_ingest": 0.0}
         self.n_detection_ticks = 0
+        # per-verification outcome + the candidate's descriptor weight
+        # at verification time (8-robot failure-rate diagnosis,
+        # SCALING.md §5)
+        self.verification_outcomes = []
 
     # ------------------------------------------------------------------
     # Ingestion
@@ -348,6 +352,12 @@ class GlobalDescriptorLoopClosureDetection:
                                          msg: msgs.InterRobotLoopClosure):
         """Geometric verification outcome (reference :432-467)."""
         edge = self.inter_robot_loop_closure_msg_to_edge(msg)
+        cand = self.lcm.candidate_selector.candidate_edges.get(
+            self.lcm.candidate_selector.edge_key(edge))
+        self.verification_outcomes.append(
+            {"success": bool(msg.success),
+             "weight": float(cand.weight) if cand is not None else None,
+             "pair": (int(msg.robot0_id), int(msg.robot1_id))})
         if msg.success:
             self.lcm.candidate_selector.candidate_edges_to_fixed([edge])
             self.log_total_successful_matches += 1

@@ -112,6 +112,10 @@ class SimSensorHandler:
         self.measurement_noise = measurement_noise
         self._rng = np.random.default_rng(self.robot_id + 7)
         self.local_keyframes: List[int] = []
+        # per-verification ground-truth record (this robot verified the
+        # pair): success flag + TRUE distance — the data behind the
+        # 8-robot failure-rate diagnosis (SCALING.md §5)
+        self.verification_log: List[Dict] = []
 
         bus.subscribe("cslam/local_descriptors_request",
                       self.on_local_descriptors_request)
@@ -165,6 +169,11 @@ class SimSensorHandler:
                 continue
             Rrel, trel, dist = self._measure(sender_rid, sender_kf, rid, kf)
             success = dist < self.verification_gate
+            self.verification_log.append(
+                {"r0": int(sender_rid), "k0": int(sender_kf),
+                 "r1": int(rid), "k1": int(kf),
+                 "success": bool(success),
+                 "distance": round(float(dist), 3)})
             if sender_rid < rid:
                 r0, k0, r1, k1 = sender_rid, sender_kf, rid, kf
                 pose = (Rrel, trel)

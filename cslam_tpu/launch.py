@@ -51,6 +51,11 @@ def robot_main(robot_id: int, args):
             "robot_id": robot_id,
             "max_nb_robots": args.robots,
             "frontend.similarity_threshold": 0.5,
+            # measured (SCALING.md §5): sim-world candidates below 0.70
+            # similarity essentially never pass the 5 m geometric gate
+            # (failed-weight max 0.704, success median 0.867) — keep
+            # the verification budget on candidates that can verify
+            "frontend.candidate_selection_min_weight": 0.7,
             "frontend.detection_publication_period_sec": 0.5,
             "frontend.inter_robot_detection_period_sec": 2.0,
             "neighbor_management.enable_neighbor_monitoring": True,
@@ -216,6 +221,13 @@ def robot_main(robot_id: int, args):
                     "max_ms": m * 1e3}
                 for k, (c, s, m) in tick_stats.items()},
         }
+        if args.sim and handler is not None:
+            # ground-truth verification record + candidate weights at
+            # verification time (SCALING.md §5 failure-rate diagnosis)
+            metrics["sim_verification_log"] = handler.verification_log
+            metrics["sim_verification_gate_m"] = handler.verification_gate
+            metrics["verification_outcome_weights"] = \
+                node.detection.verification_outcomes
         if args.sim:
             from cslam_tpu.utils.evaluation import ate_rmse
             gt_R, gt_t = world.trajectories[robot_id]

@@ -41,7 +41,8 @@ class LoopClosureSparseMatching:
             if i != self.params["robot_id"]
         }
         self.candidate_selector = AlgebraicConnectivityMaximization(
-            self.params["robot_id"], self.params["max_nb_robots"])
+            self.params["robot_id"], self.params["max_nb_robots"],
+            extra_params=self.params)
 
     # Parity alias: reference databases expose `.data` as the raw matrix.
     def add_local_global_descriptor(self, embedding, keyframe_id):

@@ -331,8 +331,17 @@ class AlgebraicConnectivityMaximization:
         rekeyed_fixed_edges = self.rekey_edges(self.fixed_edges,
                                                is_robot_included)
         rekeyed_fixed_edges.extend(self.fill_odometry())
+        # Selection-side similarity floor (config
+        # frontend.candidate_selection_min_weight): below-floor
+        # candidates are unverifiable with high probability (measured,
+        # SCALING.md §5) — keep them in the pool but out of this
+        # round's budget.
+        floor = float(self.params.get(
+            "frontend.candidate_selection_min_weight", 0.0))
+        candidate_pool = [e for e in self.candidate_edges.values()
+                          if e.weight >= floor]
         rekeyed_candidate_edges = self.rekey_edges(
-            list(self.candidate_edges.values()), is_robot_included)
+            candidate_pool, is_robot_included)
 
         nb_candidates_to_choose = min(nb_candidates_to_choose,
                                       len(rekeyed_candidate_edges))
@@ -349,7 +358,7 @@ class AlgebraicConnectivityMaximization:
             w_init = self.random_initialization(nb_candidates_to_choose,
                                                 rekeyed_candidate_edges)
 
-        if self.params["frontend.enable_sparsification"] and \
+        if self.params.get("frontend.enable_sparsification", True) and \
                 self.check_initial_fixed_measurements_exists(is_robot_included):
             result = self.run_mac_solver(rekeyed_fixed_edges,
                                          rekeyed_candidate_edges, w_init,
@@ -357,8 +366,8 @@ class AlgebraicConnectivityMaximization:
         else:
             result = self.connection_biased_greedy_selection(
                 nb_candidates_to_choose,
-                self.get_included_edges(list(self.candidate_edges.values()),
-                                        is_robot_included), is_robot_included)
+                self.get_included_edges(candidate_pool, is_robot_included),
+                is_robot_included)
 
         if self.params.get("evaluation.enable_sparsification_comparison",
                            False):

@@ -324,3 +324,32 @@ def test_mac_disconnected_raises():
     mac = MAC(fixed, cand, 4)
     with pytest.raises(DisconnectedGraphError):
         mac.fw_subset(np.array([1.0]), 1)
+
+
+def test_candidate_selection_min_weight_floor(rng):
+    """frontend.candidate_selection_min_weight keeps low-similarity
+    candidates OUT of the budgeted selection but IN the pool (they can
+    be promoted later by the max-weight dedup). Measured basis:
+    SCALING.md §5 — at 8 robots every failed verification carried
+    weight <= 0.70 while successes had median 0.87."""
+    fixed, cand = build_simple_graph(60, 40, rng)
+    weights = np.concatenate([np.full(20, 0.55), np.full(20, 0.9)])
+    ac = AlgebraicConnectivityMaximization(extra_params={
+        "frontend.enable_sparsification": True,
+        "frontend.candidate_selection_min_weight": 0.7,
+    })
+    cand = [ac.replace_weight(e, float(w)) for e, w in zip(cand, weights)]
+    ac.set_graph(fixed, cand)
+    selection = ac.select_candidates(10, {0: True},
+                                     greedy_initialization=False)
+    assert len(selection) == 10
+    assert all(e.weight >= 0.7 for e in selection)
+    # below-floor candidates remain in the pool
+    remaining = [e.weight for e in ac.candidate_edges.values()]
+    assert sum(1 for w in remaining if w < 0.7) == 20
+    # a later higher-weight re-observation of a below-floor pair
+    # promotes it into selectability
+    low = [e for e in cand if e.weight < 0.7][0]
+    ac.add_match(ac.replace_weight(low, 0.95))
+    key = ac.edge_key(low)
+    assert ac.candidate_edges[key].weight == pytest.approx(0.95)
