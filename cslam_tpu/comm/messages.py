@@ -334,6 +334,20 @@ class LocalImageDescriptors(Message):
         default_factory=lambda: np.zeros((0, 0), np.float16))
     points3d: np.ndarray = field(
         default_factory=lambda: np.zeros((0, 3), np.float32))
+    # depth-validity mask of points3d (1 B/kpt on the wire): the
+    # 2D-3D (PnP) verification mode needs to know WHICH received
+    # keypoints carry usable depth — the reference ships this
+    # implicitly through rtabmap's keypoint3D validity. Empty =
+    # legacy sender, receiver assumes all valid.
+    valid3d: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), np.float32))
+    # detector-validity mask (keypoints usable as 2D observations
+    # regardless of depth); empty = fall back to valid3d
+    valid2d: np.ndarray = field(
+        default_factory=lambda: np.zeros((0,), np.float32))
+    # sender camera (fx, fy, cx, cy) so receivers can normalize the
+    # pixel keypoints for PnP; zeros = unknown (PnP unavailable)
+    intrinsics: tuple = (0.0, 0.0, 0.0, 0.0)
 
     def to_bytes(self):
         buf = io.BytesIO()
@@ -346,6 +360,18 @@ class LocalImageDescriptors(Message):
                               desc.shape[1] if desc.ndim > 1 else 0))
         buf.write(desc.tobytes())
         _pack_array(buf, self.points3d)
+        # appended (back-compatible) PnP-mode fields: masks travel as
+        # 1 B/kpt uint8, intrinsics as 4 floats
+        v3 = np.ascontiguousarray(
+            np.asarray(self.valid3d) > 0.5).astype(np.uint8)
+        v2 = np.ascontiguousarray(
+            np.asarray(self.valid2d) > 0.5).astype(np.uint8)
+        buf.write(struct.pack("<I", v3.shape[0]))
+        buf.write(v3.tobytes())
+        buf.write(struct.pack("<I", v2.shape[0]))
+        buf.write(v2.tobytes())
+        buf.write(struct.pack("<ffff", *[float(x)
+                                         for x in self.intrinsics]))
         return buf.getvalue()
 
     @classmethod
@@ -359,9 +385,22 @@ class LocalImageDescriptors(Message):
         desc = np.frombuffer(buf.read(2 * rows * cols),
                              dtype=np.float16).reshape(rows, cols).copy()
         pts = _unpack_array(buf).reshape(-1, 3)
+        v3 = np.zeros((0,), np.float32)
+        v2 = np.zeros((0,), np.float32)
+        intr = (0.0, 0.0, 0.0, 0.0)
+        head = buf.read(4)
+        if len(head) == 4:  # legacy payloads end at points3d
+            n3 = struct.unpack("<I", head)[0]
+            v3 = np.frombuffer(buf.read(n3),
+                               dtype=np.uint8).astype(np.float32)
+            n2 = struct.unpack("<I", buf.read(4))[0]
+            v2 = np.frombuffer(buf.read(n2),
+                               dtype=np.uint8).astype(np.float32)
+            intr = struct.unpack("<ffff", buf.read(16))
         return cls(robot_id=rid, keyframe_id=kid, matches_robot_id=mrid,
                    matches_keyframe_id=mkid, keypoints=kps,
-                   descriptors=desc, points3d=pts)
+                   descriptors=desc, points3d=pts, valid3d=v3,
+                   valid2d=v2, intrinsics=intr)
 
 
 @dataclass

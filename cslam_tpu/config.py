@@ -54,6 +54,13 @@ class FrontendConfig:
     # Sensor handler (map_manager / rgbd_handler params)
     max_queue_size: int = 10
     pnp_min_inliers: int = 6
+    # Loop-closure geometric verification: "3d3d" (Kabsch RANSAC on
+    # backprojected points — needs depth on both sides), "pnp" (2D-3D
+    # P3P RANSAC, ops/pnp.py — query side needs no depth; the
+    # reference's RegistrationVis semantics, rgbd_handler.cpp:696), or
+    # "auto" (PnP when the query frame's depth coverage is sparse).
+    verification_mode: str = "auto"
+    pnp_reprojection_error_px: float = 5.0
     # Local-feature pipeline: "classical" (corners + patch descriptors)
     # or "learned" (SuperPoint + LightGlue — the reference fork's
     # runtime path; weights via models/convert.py or models/onnx_import)

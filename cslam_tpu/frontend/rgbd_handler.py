@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from cslam_tpu.comm import messages as msgs
-from cslam_tpu.ops import features, matching2d
+from cslam_tpu.ops import features, matching2d, pnp
 
 
 @dataclass
@@ -54,8 +54,12 @@ class LocalKeyframe:
     keypoints: np.ndarray    # (K, 2)
     descriptors: np.ndarray  # (K, D)
     points3d: np.ndarray     # (K, 3) camera frame
-    mask: np.ndarray         # (K,)
+    mask: np.ndarray         # (K,) detector AND depth validity
     pose: Tuple[np.ndarray, np.ndarray]  # odometry pose at keyframe
+    # detector-only validity (keypoints usable as 2D observations even
+    # without depth — the PnP verification mode's query side); None on
+    # legacy constructions -> falls back to mask
+    feat_mask: Optional[np.ndarray] = None
 
 
 class RGBDHandler:
@@ -70,6 +74,13 @@ class RGBDHandler:
         self.keyframe_ratio = params.get(
             "frontend.keyframe_generation_ratio_threshold", 1.0)
         self.min_inliers = params.get("frontend.pnp_min_inliers", 6)
+        # "3d3d" | "pnp" | "auto" — auto switches to 2D-3D PnP RANSAC
+        # when the query frame's depth is sparse (ops/pnp.py; reference
+        # RegistrationVis PnP, rgbd_handler.cpp:696-726)
+        self.verification_mode = params.get(
+            "frontend.verification_mode", "auto")
+        self.pnp_reproj_px = float(params.get(
+            "frontend.pnp_reprojection_error_px", 5.0))
         # feature pipeline: "classical" = corner detector + patch
         # descriptors (ops/features.py); "learned" = SuperPoint
         # extraction + LightGlue matching, the reference fork's runtime
@@ -218,20 +229,64 @@ class RGBDHandler:
                      depth.shape[0] - 1)
         z = np.asarray(depth)[ys, xs].astype(np.float32)
         valid_depth = (z > 0.05) & np.isfinite(z)
+        feat_mask = np.asarray(mask, dtype=np.float32).copy()
         mask = np.asarray(mask) * valid_depth
         pts3d = np.asarray(
             features.backproject(xy, jnp.asarray(z), intrinsics.fx,
                                  intrinsics.fy, intrinsics.cx,
                                  intrinsics.cy))
         return (np.asarray(xy), np.asarray(desc), pts3d,
-                mask.astype(np.float32))
+                mask.astype(np.float32), feat_mask)
+
+    def _use_pnp(self, mask_b, feat_mask_b, intr_b):
+        """Mode decision (config frontend.verification_mode):
+        "3d3d" never, "pnp" whenever intrinsics are known, "auto" when
+        the query side's depth coverage is too sparse for reliable
+        3D-3D alignment (the exact frames the 3D-3D path loses,
+        round-4 verdict item 8 / reference rgbd_handler.cpp:696)."""
+        mode = self.verification_mode
+        if mode == "3d3d" or intr_b is None or float(intr_b[0]) <= 0:
+            return False
+        if mode == "pnp":
+            return True
+        denom = max(float(np.sum(feat_mask_b)) if feat_mask_b is not None
+                    else float(len(mask_b)), 1.0)
+        return float(np.sum(mask_b)) / denom < 0.5
 
     def _verify(self, kf_a: LocalKeyframe, desc_b, pts_b, mask_b, seed=0,
-                xy_b=None):
-        """Match + robust 3D alignment; returns (RansacResult, n_matches).
-        Pose maps frame-a points into frame b. With frontend.features:
-        learned, matching is LightGlue (reference setMatches,
-        rgbd_handler.cpp:317-412); otherwise mutual-NN + ratio test."""
+                xy_b=None, feat_mask_b=None, intr_b=None):
+        """Match + robust pose estimation; returns (RansacResult,
+        n_matches). Pose maps frame-a points into frame b. With
+        frontend.features: learned, matching is LightGlue (reference
+        setMatches, rgbd_handler.cpp:317-412); otherwise mutual-NN +
+        ratio test. Alignment is 3D-3D Kabsch RANSAC, or 2D-3D PnP
+        RANSAC (ops/pnp.py) when the query frame's depth is sparse —
+        the reference's RegistrationVis PnP semantics
+        (rgbd_handler.cpp:696-726)."""
+        use_pnp = xy_b is not None and self._use_pnp(mask_b, feat_mask_b,
+                                                    intr_b)
+        if use_pnp:
+            rays_b = pnp.normalize_keypoints(xy_b, intr_b)
+            m2 = feat_mask_b if feat_mask_b is not None else mask_b
+            thr = self.pnp_reproj_px / max(float(intr_b[0]), 1e-6)
+            if self.lightglue is not None:
+                idx1, valid = self.lightglue.match(
+                    kf_a.descriptors, kf_a.keypoints, kf_a.mask,
+                    desc_b, xy_b, m2,
+                    size=getattr(self, "_image_size", None))
+                result = pnp.ransac_pnp(
+                    jnp.asarray(kf_a.points3d),
+                    jnp.asarray(rays_b)[idx1],
+                    jnp.asarray(valid * kf_a.mask),
+                    inlier_threshold=thr,
+                    min_inliers=self.min_inliers, seed=seed)
+                return result, float(valid.sum())
+            return pnp.verify_keyframe_pair_pnp(
+                jnp.asarray(kf_a.descriptors), jnp.asarray(kf_a.points3d),
+                jnp.asarray(kf_a.mask), jnp.asarray(desc_b),
+                jnp.asarray(rays_b), jnp.asarray(m2),
+                inlier_threshold=thr, min_inliers=self.min_inliers,
+                seed=seed)
         if self.lightglue is not None and xy_b is not None:
             idx1, valid = self.lightglue.match(
                 kf_a.descriptors, kf_a.keypoints, kf_a.mask,
@@ -257,7 +312,9 @@ class RGBDHandler:
         result, _ = self._verify(self.previous_keyframe,
                                  candidate.descriptors,
                                  candidate.points3d, candidate.mask,
-                                 xy_b=candidate.keypoints)
+                                 xy_b=candidate.keypoints,
+                                 feat_mask_b=candidate.feat_mask,
+                                 intr_b=getattr(self, "_intrinsics", None))
         n_valid = max(float(np.asarray(candidate.mask).sum()), 1.0)
         inlier_ratio = float(result.num_inliers) / n_valid
         return inlier_ratio < self.keyframe_ratio
@@ -269,10 +326,14 @@ class RGBDHandler:
             return None
         image, depth, intrinsics, pose = self.received_queue.pop()
         self.received_queue.clear()
-        xy, desc, pts3d, mask = self.compute_local_descriptors(
+        xy, desc, pts3d, mask, feat_mask = self.compute_local_descriptors(
             image, depth, intrinsics)
+        # camera parameters ride along with local descriptors so
+        # receivers can run depth-free PnP verification
+        self._intrinsics = (float(intrinsics.fx), float(intrinsics.fy),
+                            float(intrinsics.cx), float(intrinsics.cy))
         candidate = LocalKeyframe(self.nb_local_keyframes, xy, desc, pts3d,
-                                  mask, pose)
+                                  mask, pose, feat_mask=feat_mask)
         if not self.generate_new_keyframe(candidate):
             return None
         self.local_keyframes[candidate.id] = candidate
@@ -300,7 +361,12 @@ class RGBDHandler:
             matches_keyframe_id=list(request.matches_keyframe_id),
             keypoints=kf.keypoints,
             descriptors=kf.descriptors.astype(np.float16),
-            points3d=kf.points3d)
+            points3d=kf.points3d,
+            valid3d=np.asarray(kf.mask, dtype=np.float32),
+            valid2d=np.asarray(
+                kf.feat_mask if kf.feat_mask is not None else kf.mask,
+                dtype=np.float32),
+            intrinsics=getattr(self, "_intrinsics", (0.0, 0.0, 0.0, 0.0)))
         self.local_descriptors_publisher.publish(msg)
         # comm accounting (reference 28 B/kpt + 12 B/pt + 1 B/desc byte,
         # rgbd_handler.cpp:581-589)
@@ -326,16 +392,37 @@ class RGBDHandler:
                    if rid == self.robot_id and kid in self.local_keyframes]
         if not targets:
             return
-        mask_b = np.ones(len(msg.points3d), dtype=np.float32)
+        K = len(msg.points3d)
+        mask_b = (np.asarray(msg.valid3d, dtype=np.float32)
+                  if len(msg.valid3d) == K
+                  else np.ones(K, dtype=np.float32))
+        feat_mask_b = (np.asarray(msg.valid2d, dtype=np.float32)
+                       if len(msg.valid2d) == K else mask_b)
+        intr_b = msg.intrinsics
         desc_b = msg.descriptors.astype(np.float32)
+        use_pnp = self._use_pnp(mask_b, feat_mask_b, intr_b)
         if self.lightglue is None and len(targets) > 1:
-            batch_res, _ = matching2d.verify_keyframe_pairs(
-                jnp.asarray(np.stack([kf.descriptors
-                                      for _, kf in targets])),
-                jnp.asarray(np.stack([kf.points3d for _, kf in targets])),
-                jnp.asarray(np.stack([kf.mask for _, kf in targets])),
-                jnp.asarray(desc_b), jnp.asarray(msg.points3d),
-                jnp.asarray(mask_b), min_inliers=self.min_inliers)
+            if use_pnp:
+                rays_b = pnp.normalize_keypoints(msg.keypoints, intr_b)
+                thr = self.pnp_reproj_px / max(float(intr_b[0]), 1e-6)
+                batch_res, _ = pnp.verify_keyframe_pairs_pnp(
+                    jnp.asarray(np.stack([kf.descriptors
+                                          for _, kf in targets])),
+                    jnp.asarray(np.stack([kf.points3d
+                                          for _, kf in targets])),
+                    jnp.asarray(np.stack([kf.mask for _, kf in targets])),
+                    jnp.asarray(desc_b), jnp.asarray(rays_b),
+                    jnp.asarray(feat_mask_b), inlier_threshold=thr,
+                    min_inliers=self.min_inliers)
+            else:
+                batch_res, _ = matching2d.verify_keyframe_pairs(
+                    jnp.asarray(np.stack([kf.descriptors
+                                          for _, kf in targets])),
+                    jnp.asarray(np.stack([kf.points3d
+                                          for _, kf in targets])),
+                    jnp.asarray(np.stack([kf.mask for _, kf in targets])),
+                    jnp.asarray(desc_b), jnp.asarray(msg.points3d),
+                    jnp.asarray(mask_b), min_inliers=self.min_inliers)
             batch_res = jax.tree.map(np.asarray, batch_res)
             results = [jax.tree.map(lambda x, b=b: x[b], batch_res)
                        for b in range(len(targets))]
@@ -343,7 +430,9 @@ class RGBDHandler:
             results = []
             for _, kf in targets:
                 result, _ = self._verify(kf, desc_b, msg.points3d, mask_b,
-                                         xy_b=msg.keypoints)
+                                         xy_b=msg.keypoints,
+                                         feat_mask_b=feat_mask_b,
+                                         intr_b=intr_b)
                 results.append(result)
         for (kid, kf), result in zip(targets, results):
             # result pose maps my frame -> sender frame; between
@@ -382,7 +471,9 @@ class RGBDHandler:
         if kf0 is None or kf1 is None:
             return
         result, _ = self._verify(kf0, kf1.descriptors, kf1.points3d,
-                                 kf1.mask, xy_b=kf1.keypoints)
+                                 kf1.mask, xy_b=kf1.keypoints,
+                                 feat_mask_b=kf1.feat_mask,
+                                 intr_b=getattr(self, "_intrinsics", None))
         # estimated T maps kf0 camera points into kf1 camera frame:
         # T = X_1^-1 X_0; between measurement X_0^-1 X_1 = T^-1
         R = np.asarray(result.R)
@@ -621,9 +712,10 @@ class StereoHandler(RGBDHandler):
             max_disparity=self.max_disparity, min_zncc=self.min_zncc)
         z = stereo_ops.depth_from_disparity(
             disparity, dvalid, intrinsics.fx, intrinsics.baseline)
+        feat_mask = np.asarray(mask, dtype=np.float32).copy()
         mask = np.asarray(mask) * np.asarray(dvalid)
         pts3d = np.asarray(
             features.backproject(xy, z, intrinsics.fx, intrinsics.fy,
                                  intrinsics.cx, intrinsics.cy))
         return (np.asarray(xy), np.asarray(desc), pts3d,
-                mask.astype(np.float32))
+                mask.astype(np.float32), feat_mask)
