@@ -126,6 +126,7 @@ class DecentralizedPGO:
         self.received_pose_graphs: Dict[int, msgs.PoseGraph] = {}
         self.received_connectivity: Dict[int, List[int]] = {}
         self.optimization_count = 0
+        self.optimization_walls = []  # per-solve {"wall_s", "n_factors"}
 
         self._executor = ThreadPoolExecutor(max_workers=1)
         self._optimization_future: Optional[Future] = None
@@ -392,13 +393,20 @@ class DecentralizedPGO:
 
     def _optimize(self, fg: FactorGraph):
         """The solve (reference optimize(), :853-886) — JAX GNC-LM."""
+        import time as time_
         from cslam_tpu.runtime.tracing import span
         if self.logger is not None:
             self.logger.start_timer()
+        t_start = time_.perf_counter()
         try:
             with span("pgo_solve", robot=self.robot_id,
                       n_factors=fg.num_factors):
                 result = self.solver(fg, self.pgo_config)
+            # per-solve wall + size record (reference latest_pgo_time,
+            # logger.cpp:59-69; consumed by scale_mission_bench)
+            self.optimization_walls.append(
+                {"wall_s": time_.perf_counter() - t_start,
+                 "n_factors": int(fg.num_factors)})
         except Exception:
             # A failed solve must be observable, not a silent return to
             # IDLE — mirror the reference's error logging.

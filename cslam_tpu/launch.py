@@ -141,8 +141,15 @@ def robot_main(robot_id: int, args):
     while time.monotonic() - start < args.duration:
         now = time.monotonic()
         bus.spin_once(timeout_ms=10)
-        if args.sim and next_kf < args.sim_poses and \
-                now - last_kf >= kf_period:
+        # catch-up loop: the sensor stream does not pause while this
+        # process runs a multi-second broker/optimizer tick — emit every
+        # keyframe whose time has passed (capped per iteration so bus
+        # servicing still interleaves). One-per-iteration starved the
+        # BROKER robot to 191/1000 keyframes in the map-scale mission
+        # (measured r5).
+        emitted = 0
+        while args.sim and next_kf < args.sim_poses and \
+                now - last_kf >= kf_period and emitted < 25:
             node.detection.add_global_descriptor_to_map(
                 world.descriptor(robot_id, next_kf), next_kf)
             bus.publish("cslam/keyframe_odom",
@@ -150,7 +157,10 @@ def robot_main(robot_id: int, args):
                                           pose=(odom_R[next_kf],
                                                 odom_t[next_kf])))
             next_kf += 1
-            last_kf = now
+            last_kf += kf_period
+            if last_kf < now - 30.0 * kf_period:
+                last_kf = now - 30.0 * kf_period  # bound the backlog
+            emitted += 1
         for name, tick in (
                 ("publication", node.tick_detection_publication),
                 ("detection", node.tick_inter_robot_detection),
@@ -212,6 +222,7 @@ def robot_main(robot_id: int, args):
                 node.detection.log_total_matches_selected,
             "verification_failures":
                 node.detection.log_total_failed_matches,
+            "optimization_walls": node.backend.optimization_walls,
             "gossip_comm_bytes":
                 node.detection.log_detection_cumulative_communication,
             "first_loop_closure_s": first_lc_time,

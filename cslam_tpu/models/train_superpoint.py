@@ -35,10 +35,16 @@ import time
 import numpy as np
 
 
-def _batch(rng, n, H, W, background="gradient"):
+def _batch(rng, n, H, W, background="gradient", real_ds=None,
+           real_mix=0.0):
     """Host-side batch: images, cell labels for both views, the warp
     grid correspondence (cell-center positions of view 0 mapped into
-    view 1), and a validity mask for view-1 cells."""
+    view 1), and a validity mask for view-1 cells.
+
+    real_ds/real_mix: blend homographic-adaptation pseudo-labeled REAL
+    image pairs (models/homographic_adaptation.RealPseudoDataset) into
+    the synthetic stream — the self-supervised route that avoids the
+    measured 'synthetic labels suppress real corners' trap (round 4)."""
     from cslam_tpu.models.synthetic_shapes import make_pair_sample
     im0 = np.zeros((n, H, W, 1), np.float32)
     im1 = np.zeros((n, H, W, 1), np.float32)
@@ -57,7 +63,10 @@ def _batch(rng, n, H, W, background="gradient"):
                        axis=1).astype(np.float32)
     from cslam_tpu.models.synthetic_shapes import apply_homography
     for i in range(n):
-        s = make_pair_sample(rng, H, W, background=background)
+        if real_ds is not None and rng.random() < real_mix:
+            s = real_ds.sample_pair(rng, H, W)
+        else:
+            s = make_pair_sample(rng, H, W, background=background)
         im0[i, :, :, 0] = s["img0"]
         im1[i, :, :, 0] = s["img1"]
         lab0[i] = s["labels0"]
@@ -174,6 +183,11 @@ def main():
                     help="background distribution (round-4 domain "
                          "widening: 'mixed' adds black/texture/real-"
                          "photo canvases to the original gradient)")
+    ap.add_argument("--real-mix", type=float, default=0.0,
+                    help="fraction of each batch drawn from homographic-"
+                         "adaptation pseudo-labeled REAL images")
+    ap.add_argument("--real-warps", type=int, default=48,
+                    help="homography warps aggregated per pseudo-label")
     ap.add_argument("--out", default="cslam_tpu/models/weights/"
                                      "superpoint_synth.npz")
     args = ap.parse_args()
@@ -198,6 +212,16 @@ def main():
             params = unflatten_dict({tuple(k.split("/")): jnp.asarray(v)
                                      for k, v in data.items()})
         print("warm-started from", args.init_from, flush=True)
+    real_ds = None
+    if args.real_mix > 0:
+        from cslam_tpu.models.homographic_adaptation import \
+            RealPseudoDataset
+        print("building homographic-adaptation pseudo-labels "
+              f"({args.real_warps} warps/image)...", flush=True)
+        real_ds = RealPseudoDataset(model.apply, params, rng=rng,
+                                    n_warps=args.real_warps)
+        print("pseudo-corner counts per source image:",
+              real_ds.corner_counts(), flush=True)
     tx, train_step = build_train_step(model, args.lr, args.steps,
                                       desc_weight=args.desc_weight)
     opt_state = tx.init(params)
@@ -205,7 +229,8 @@ def main():
     t0 = time.time()
     for step in range(args.steps):
         batch = _batch(rng, args.batch, args.height, args.width,
-                       background=args.background)
+                       background=args.background, real_ds=real_ds,
+                       real_mix=args.real_mix)
         params, opt_state, loss, ld, ldesc = train_step(
             params, opt_state, tuple(map(jnp.asarray, batch)))
         if step % 50 == 0 or step == args.steps - 1:
