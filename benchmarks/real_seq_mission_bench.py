@@ -118,6 +118,37 @@ def main(budget=6, sim_threshold=0.75, drift=0.02, seed=4):
     model = CosPlace({"frontend.nn_checkpoint": "shipped"})
     assert model.enabled, "no shipped CosPlace weights"
 
+    # ---- per-stage wall accumulators (round-4 verdict item 6: the
+    # real-pixel artifact needs a per-stage split). Class-level wraps
+    # so bus subscriptions capture the timed versions. Device-time
+    # reference for each stage's kernels is BENCH_DETAIL.json
+    # hot_loops (slope-timed on chip); a live mission cannot separate
+    # device time from dispatch wall per call.
+    import functools
+    stage_wall = {"feature_extraction": 0.0, "verification": 0.0,
+                  "place_inference": 0.0}
+
+    def timed(fn, key):
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            ts = time.perf_counter()
+            try:
+                return fn(*a, **k)
+            finally:
+                stage_wall[key] += time.perf_counter() - ts
+        return wrapped
+
+    RGBDHandler.compute_local_descriptors = timed(
+        RGBDHandler.compute_local_descriptors, "feature_extraction")
+    RGBDHandler.receive_local_image_descriptors = timed(
+        RGBDHandler.receive_local_image_descriptors, "verification")
+    RGBDHandler.receive_local_keyframe_match = timed(
+        RGBDHandler.receive_local_keyframe_match, "verification")
+    model.compute_embedding = timed(model.compute_embedding,
+                                    "place_inference")
+    model.compute_embeddings_batch = timed(model.compute_embeddings_batch,
+                                           "place_inference")
+
     seqs = [open_sequence(d) for d in SEQ_DIRS]
     n_robots = len(seqs)
     router = InProcessRouter()
@@ -204,6 +235,12 @@ def main(budget=6, sim_threshold=0.75, drift=0.02, seed=4):
         "verified_inter_robot_loop_closures": n_inter,
         "pipeline_wall_s": t_pipeline - t_setup,
         "optimization_wall_s": t_opt - t_pipeline,
+        "stage_wall_s": {k: round(v, 3) for k, v in stage_wall.items()},
+        "stage_device_reference":
+            "per-kernel on-chip device times in BENCH_DETAIL.json "
+            "hot_loops (SuperPoint/LightGlue/CosPlace/verification "
+            "slope-timed); live-mission walls include per-dispatch "
+            "relay overhead (bench relay_sync_floor_ms)",
         "n_robots_evaluated": len(ates_opt),
         "ate_rmse_odometry": float(np.mean(ates_raw)) if ates_raw else None,
         "ate_rmse_optimized": float(np.mean(ates_opt)) if ates_opt else None,

@@ -99,6 +99,12 @@ def main(argv=None):
         "broker_phase_ms": broker.get("detection_phase_ms"),
         "detection_tick_mean_ms": mean([d["mean_ms"] for d in det]),
         "detection_tick_max_ms": max(d["max_ms"] for d in det),
+        # detection ticks > 5 s with the candidate/fixed pool sizes at
+        # that moment: outliers at pow2 bucket-crossing sizes are cold
+        # XLA compiles (absorbed by the persistent cache on revisits),
+        # not recurring solve cost
+        "slow_detection_ticks": sum(
+            (r.get("slow_detection_ticks") or [] for r in robots), []),
         "candidates_selected_total": sum(
             r.get("candidates_selected_total", 0) for r in robots),
         "candidates_still_pending": max(

@@ -134,6 +134,7 @@ def robot_main(robot_id: int, args):
     # per-tick latency + convergence instrumentation (host-scaling
     # measurements: benchmarks/host_scaling_bench.py)
     tick_stats = {k: [0, 0.0, 0.0] for k in periods}  # count, sum, max
+    slow_ticks = []  # detection ticks > 5 s (see forensics note below)
     first_opt_time = None
     first_lc_time = None
 
@@ -176,6 +177,19 @@ def robot_main(robot_id: int, args):
                 st[1] += dt
                 st[2] = max(st[2], dt)
                 last[name] = now
+                # slow-tick forensics (map-scale missions): timestamp,
+                # duration, and the candidate-pool size — identifies
+                # whether outliers are cold XLA compiles at pow2 bucket
+                # transitions or recurring solve cost
+                if name == "detection" and dt > 5.0:
+                    slow_ticks.append({
+                        "t_s": round(now - start, 1),
+                        "wall_s": round(dt, 2),
+                        "candidates": len(node.detection.lcm
+                                          .candidate_selector
+                                          .candidate_edges),
+                        "fixed": len(node.detection.lcm
+                                     .candidate_selector.fixed_edges)})
         if ckpt_folder and now - last_ckpt >= ckpt_period:
             from cslam_tpu.utils import checkpoint
             checkpoint.save_node_atomic(node, ckpt_folder)
@@ -223,6 +237,7 @@ def robot_main(robot_id: int, args):
             "verification_failures":
                 node.detection.log_total_failed_matches,
             "optimization_walls": node.backend.optimization_walls,
+            "slow_detection_ticks": slow_ticks,
             "gossip_comm_bytes":
                 node.detection.log_detection_cumulative_communication,
             "first_loop_closure_s": first_lc_time,

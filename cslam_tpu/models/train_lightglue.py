@@ -100,6 +100,76 @@ def make_match_batch(rng, batch, K=96, D=256, H=120, W=160,
     return desc0, xy0, m, desc1, xy1, m, gt, matched0, matched1
 
 
+def build_real_match_pool(superpoint, rng, n_pairs=256, K=96, H=120,
+                          W=160, match_px=3.0):
+    """Real-patch homography matching problems (round-4 verdict item 4):
+    crops of the offline real photographs and their homography warps,
+    featurized by the DEPLOYED SuperPoint — so LightGlue continues on
+    the true descriptor distribution it sees at runtime instead of the
+    abstract unit-vector noise model. Ground-truth matches = mutual
+    nearest under the homography within match_px.
+
+    Returns a tuple of stacked arrays in make_match_batch's exact
+    layout, to be sampled as training batches."""
+    from cslam_tpu.models.homographic_adaptation import \
+        default_source_images
+    from cslam_tpu.models.synthetic_shapes import (apply_homography,
+                                                   random_homography,
+                                                   warp_image)
+    images = [im for im in default_source_images()
+              if im.shape[0] >= H + 8 and im.shape[1] >= W + 8]
+    out = {k: [] for k in ("d0", "p0", "m0", "d1", "p1", "m1", "gt",
+                           "mt0", "mt1")}
+    while len(out["d0"]) < n_pairs:
+        img = images[int(rng.integers(len(images)))]
+        y0 = int(rng.integers(0, img.shape[0] - H + 1))
+        x0 = int(rng.integers(0, img.shape[1] - W + 1))
+        crop = np.ascontiguousarray(img[y0:y0 + H, x0:x0 + W])
+        crop = np.clip(crop * rng.uniform(0.85, 1.15) +
+                       rng.uniform(-0.06, 0.06), 0, 1).astype(np.float32)
+        Hm = random_homography(rng, H, W)
+        warped, _ = warp_image(crop, Hm)
+        warped = np.clip(warped * rng.uniform(0.8, 1.2) +
+                         rng.uniform(-0.08, 0.08) +
+                         0.02 * rng.standard_normal((H, W)),
+                         0, 1).astype(np.float32)
+        xy0, d0, _, m0 = (np.asarray(a) for a in
+                          superpoint.extract_features(crop,
+                                                      max_keypoints=K))
+        xy1, d1, _, m1 = (np.asarray(a) for a in
+                          superpoint.extract_features(warped,
+                                                      max_keypoints=K))
+        if m0.sum() < K // 4 or m1.sum() < K // 4:
+            continue
+        w0 = apply_homography(Hm, xy0)
+        dist = np.linalg.norm(w0[:, None] - xy1[None], axis=-1)
+        dist = np.where((m0[:, None] > 0) & (m1[None] > 0), dist, np.inf)
+        nn1 = dist.argmin(1)
+        nn0 = dist.argmin(0)
+        gt = np.full(K, -1, np.int32)
+        for i in range(K):
+            j = nn1[i]
+            if dist[i, j] < match_px and nn0[j] == i:
+                gt[i] = j
+        if (gt >= 0).sum() < 8:
+            continue
+        mt0 = (gt >= 0).astype(np.float32)
+        mt1 = np.zeros(K, np.float32)
+        mt1[gt[gt >= 0]] = 1.0
+        for k, v in zip(("d0", "p0", "m0", "d1", "p1", "m1", "gt",
+                         "mt0", "mt1"),
+                        (d0, xy0, m0, d1, xy1, m1, gt, mt0, mt1)):
+            out[k].append(v)
+    return tuple(np.stack(out[k]) for k in
+                 ("d0", "p0", "m0", "d1", "p1", "m1", "gt", "mt0",
+                  "mt1"))
+
+
+def sample_pool_batch(pool, rng, batch):
+    idx = rng.integers(0, len(pool[0]), size=batch)
+    return tuple(arr[idx] for arr in pool)
+
+
 def build_train_step(model, lr, steps, H=120, W=160):
     import jax
     import jax.numpy as jnp
@@ -208,6 +278,14 @@ def main():
                     help="warm-start from an existing .npz checkpoint")
     ap.add_argument("--noise-lo", type=float, default=0.4)
     ap.add_argument("--noise-hi", type=float, default=0.95)
+    ap.add_argument("--real-mix", type=float, default=0.0,
+                    help="fraction of batches drawn from the real-patch "
+                         "SuperPoint pair pool")
+    ap.add_argument("--real-pairs", type=int, default=256,
+                    help="pool size of precomputed real pairs")
+    ap.add_argument("--superpoint", default="",
+                    help="SuperPoint checkpoint used to featurize the "
+                         "real pairs (default: shipped)")
     ap.add_argument("--out", default="cslam_tpu/models/weights/"
                                      "lightglue_synth.npz")
     args = ap.parse_args()
@@ -234,14 +312,30 @@ def main():
             params = unflatten_dict({tuple(k.split("/")): jnp.asarray(v)
                                      for k, v in data.items()})
         print("warm-started from", args.init_from, flush=True)
+    pool = None
+    if args.real_mix > 0:
+        from cslam_tpu.models import zoo
+        from cslam_tpu.models.superpoint import SuperPoint
+        sp_ckpt = args.superpoint or \
+            zoo.shipped_checkpoint("superpoint_synth.npz")
+        sp = SuperPoint(checkpoint=sp_ckpt, max_keypoints=K)
+        print(f"building {args.real_pairs} real SuperPoint pairs from "
+              f"{sp_ckpt}...", flush=True)
+        pool = build_real_match_pool(sp, rng, n_pairs=args.real_pairs,
+                                     K=K)
+        print(f"pool ready: mean matches/pair "
+              f"{float(pool[7].sum(1).mean()):.1f}", flush=True)
     tx, train_step = build_train_step(model, args.lr, args.steps)
     opt_state = tx.init(params)
 
     t0 = time.time()
     for step in range(args.steps):
-        batch = make_match_batch(rng, args.batch, K=K,
-                                 noise_lo=args.noise_lo,
-                                 noise_hi=args.noise_hi)
+        if pool is not None and rng.random() < args.real_mix:
+            batch = sample_pool_batch(pool, rng, args.batch)
+        else:
+            batch = make_match_batch(rng, args.batch, K=K,
+                                     noise_lo=args.noise_lo,
+                                     noise_hi=args.noise_hi)
         jb = tuple(map(jnp.asarray, batch))
         params, opt_state, loss = train_step(params, opt_state, jb)
         if step % 50 == 0 or step == args.steps - 1:
