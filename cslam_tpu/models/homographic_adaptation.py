@@ -127,17 +127,21 @@ class RealPseudoDataset:
     synthetic labels touch real pixels)."""
 
     def __init__(self, apply_fn, params, images=None, rng=None,
-                 n_warps=48, threshold=0.015):
+                 n_warps=48, threshold=0.010, ignore_frac=0.35):
         rng = rng or np.random.default_rng(0)
         images = images if images is not None else default_source_images()
+        self.threshold = threshold
+        self.ignore_thr = ignore_frac * threshold
         self.images: List[np.ndarray] = []
         self.corners: List[np.ndarray] = []
+        self.heats: List[np.ndarray] = []
         for img in images:
             heat, _ = aggregate_heatmap(apply_fn, params, img, rng,
                                         n_warps=n_warps)
             cs = pseudo_corners(heat, threshold=threshold)
             self.images.append(img)
             self.corners.append(cs)
+            self.heats.append(heat)
 
     def corner_counts(self):
         return [len(c) for c in self.corners]
@@ -154,6 +158,7 @@ class RealPseudoDataset:
             y0 = int(rng.integers(0, img.shape[0] - H + 1)) & ~7
             x0 = int(rng.integers(0, img.shape[1] - W + 1)) & ~7
             crop = img[y0:y0 + H, x0:x0 + W]
+            heat_crop = self.heats[i][y0:y0 + H, x0:x0 + W]
             if cs.size:
                 inside = (cs[:, 0] >= x0 + 1) & (cs[:, 0] < x0 + W - 1) & \
                     (cs[:, 1] >= y0 + 1) & (cs[:, 1] < y0 + H - 1)
@@ -180,8 +185,19 @@ class RealPseudoDataset:
         labels1 = corners_to_cell_labels(
             c1[keep] if len(corners) else c1, H, W)
         Hc, Wc = H // 8, W // 8
-        no_ignore = np.zeros((Hc, Wc), dtype=bool)
+        # ignore-cells: intermediate aggregate response without a
+        # labeled pseudo-corner — the detector fired there sometimes,
+        # so a dustbin label would teach suppression of a maybe-corner
+        # (the exact round-4 failure mode). train_superpoint zeroes the
+        # detector loss on (label==dustbin & ignore) cells.
+        cellmax = heat_crop[:Hc * 8, :Wc * 8].reshape(
+            Hc, 8, Wc, 8).max(axis=(1, 3))
+        ignore0 = cellmax > self.ignore_thr
+        ig_px = np.repeat(np.repeat(ignore0.astype(np.float32), 8, 0),
+                          8, 1)[:H, :W]
+        ig1_px, _ = warp_image(ig_px, Hm)
+        ignore1 = ig1_px[4::8, 4::8][:Hc, :Wc] > 0.25
         return {"img0": img0, "img1": img1, "H": Hm, "corners0": corners,
                 "corners1": c1[keep] if len(corners) else c1,
                 "labels0": labels0, "labels1": labels1, "valid1": valid1,
-                "ignore0": no_ignore, "ignore1": no_ignore}
+                "ignore0": ignore0, "ignore1": ignore1}
