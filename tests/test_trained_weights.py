@@ -288,18 +288,18 @@ def test_detector_domain_breadth_gates():
     texture / real-photo backgrounds, texture-blob scenes, and real
     photographs must all yield usable detection counts.
 
-    Measured history (round 4): the round-2 'fails with <10 detections
-    on black/texture backgrounds' known-limit is STALE — the shipped
-    weights (post r2 descriptor retrain) measure >=13 on every probe
-    family below. Three mixed-background continuation runs were
-    attempted to widen further and all measured NET NEGATIVE
-    (lr 3e-4 diverged outright; lr 8e-5 dropped blob scenes 26 -> 5
-    and real frames 128 -> 56-95 because photo backgrounds carry real
-    unlabeled corners whose dustbin labels teach suppression; adding
-    Shi-Tomasi ignore-mask cells — synthetic_shapes.
-    background_corner_cells, kept for future real-data training —
-    recovered real frames to 69-113 but not the rest). This test pins
-    the breadth the shipped checkpoint actually has."""
+    Measured history: round 4's mixed-background continuations (with
+    SYNTHETIC labels) were all net negative — photo backgrounds carry
+    real unlabeled corners whose dustbin labels teach suppression.
+    Round 5's TWO-ROUND homographic adaptation (pseudo-labels from the
+    detector's own warp-aggregated responses on real photographs +
+    ignore-cells on intermediate responses,
+    models/homographic_adaptation.py) broke the wall: black 15/24 ->
+    47/65 min/median, texture 24/34 -> 45/79, photo 26/63 -> 59/95,
+    blob scenes 20 -> 70 minimum, real frames still saturating the
+    128-keypoint budget, real-image warp precision up ~25% relative —
+    measured against the round-4 shipped weights on identical probes.
+    This test pins the widened breadth of the round-5 checkpoint."""
     import os
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -320,8 +320,8 @@ def test_detector_domain_breadth_gates():
             _, _, _, mask = sp.extract_features(img)
             counts.append(int(np.asarray(mask).sum()))
         counts.sort()
-        assert counts[0] >= 10, (bg, counts)
-        assert counts[len(counts) // 2] >= 15, (bg, counts)
+        assert counts[0] >= 30, (bg, counts)
+        assert counts[len(counts) // 2] >= 40, (bg, counts)
 
     # texture blobs on black (test_rgbd_handler's rendered scenes — the
     # probe the stale known-limit cited)
@@ -336,7 +336,7 @@ def test_detector_domain_breadth_gates():
             gray = gray / 255.0
         _, _, _, mask = sp.extract_features(gray.astype(np.float32))
         blob_counts.append(int(np.asarray(mask).sum()))
-    assert min(blob_counts) >= 15, blob_counts
+    assert min(blob_counts) >= 40, blob_counts
 
     # real photographs saturate the keypoint budget
     seq = open_sequence(os.path.join(os.path.dirname(__file__), "data",
