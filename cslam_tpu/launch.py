@@ -127,7 +127,12 @@ def robot_main(robot_id: int, args):
     last = {k: 0.0 for k in periods}
     next_kf = resumed_from_kf or 0
     kf_period = args.sim_kf_period
-    last_kf = 0.0
+    # anchor the emission clock to NOW: time.monotonic() is an
+    # arbitrary large number, so a 0.0 anchor read as a maximal
+    # backlog and the catch-up loop blasted every keyframe out at
+    # mission start (regression r5: crash-resume pacing destroyed).
+    # -kf_period so the FIRST keyframe still emits immediately.
+    last_kf = time.monotonic() - kf_period
     ckpt_period = getattr(args, "checkpoint_period", 2.0)
     last_ckpt = 0.0
 

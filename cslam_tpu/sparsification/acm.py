@@ -335,11 +335,20 @@ class AlgebraicConnectivityMaximization:
         # frontend.candidate_selection_min_weight): below-floor
         # candidates are unverifiable with high probability (measured,
         # SCALING.md §5) — keep them in the pool but out of this
-        # round's budget.
+        # round's budget. The floor PRIORITIZES, it must not starve:
+        # when above-floor candidates alone cannot fill the budget
+        # (small worlds / early mission), backfill with the
+        # highest-weight below-floor candidates so selection never
+        # returns empty while candidates exist.
         floor = float(self.params.get(
             "frontend.candidate_selection_min_weight", 0.0))
-        candidate_pool = [e for e in self.candidate_edges.values()
-                          if e.weight >= floor]
+        all_candidates = list(self.candidate_edges.values())
+        candidate_pool = [e for e in all_candidates if e.weight >= floor]
+        if len(candidate_pool) < nb_candidates_to_choose:
+            below = sorted((e for e in all_candidates if e.weight < floor),
+                           key=lambda e: e.weight, reverse=True)
+            candidate_pool.extend(
+                below[:nb_candidates_to_choose - len(candidate_pool)])
         rekeyed_candidate_edges = self.rekey_edges(
             candidate_pool, is_robot_included)
 

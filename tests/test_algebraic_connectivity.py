@@ -353,3 +353,28 @@ def test_candidate_selection_min_weight_floor(rng):
     ac.add_match(ac.replace_weight(low, 0.95))
     key = ac.edge_key(low)
     assert ac.candidate_edges[key].weight == pytest.approx(0.95)
+
+
+def test_selection_floor_backfills_instead_of_starving(rng):
+    """The floor prioritizes — it must never return an empty selection
+    while candidates exist (regression: a 2-robot crash-resume mission
+    had every candidate below the 0.7 launch floor and selected ZERO,
+    losing all loop closures)."""
+    fixed, cand = build_simple_graph(60, 40, rng)
+    # every candidate below the floor
+    cand = [AlgebraicConnectivityMaximization().replace_weight(e, 0.4 + 0.005 * i)
+            for i, e in enumerate(cand)]
+    ac = AlgebraicConnectivityMaximization(extra_params={
+        "frontend.enable_sparsification": True,
+        "frontend.candidate_selection_min_weight": 0.7,
+    })
+    ac.set_graph(fixed, cand)
+    selection = ac.select_candidates(5, {0: True},
+                                     greedy_initialization=False)
+    assert len(selection) == 5
+    # with zero above-floor candidates and budget 5, the backfilled
+    # pool is exactly the top-5 below-floor weights — all selected
+    chosen = sorted(e.weight for e in selection)
+    offered = sorted((0.4 + 0.005 * i for i in range(40)),
+                     reverse=True)[:5]
+    np.testing.assert_allclose(chosen, sorted(offered), atol=1e-9)
