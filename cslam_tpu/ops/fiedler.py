@@ -75,12 +75,23 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
     """
     from cslam_tpu.ops.block_tridiag import bcr_factor, bcr_solve
 
+    # Every gate decision reads a vector dot. On TPU jnp.dot defaults
+    # to bf16 MXU passes — the alignment gate compares against
+    # 1 - 1e-6, which bf16 cannot resolve, so the gate fired at the
+    # 2-iteration floor on EVERY evaluation and map-scale MAC
+    # selection quality collapsed 2.46x -> 1.03x vs greedy (measured
+    # on chip, r5) while the same code was exact on CPU. All
+    # convergence-relevant dots use HIGHEST precision (f32
+    # accumulation; cost is nil next to the matvecs).
+    def dot(a, b):
+        return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
     P = node_mask.shape[0]
     n_real = jnp.maximum(jnp.sum(node_mask), 1.0)
     ones = node_mask / jnp.sqrt(n_real)
 
     def project(x):
-        return (x - ones * jnp.dot(ones, x)) * node_mask
+        return (x - ones * dot(ones, x)) * node_mask
 
     def lap(x):
         return laplacian_matvec(e_i, e_j, weights, x) + eps * x
@@ -103,21 +114,21 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
 
     def cg_solve(b):
         b = project(b)
-        bb = jnp.maximum(jnp.dot(b, b), 1e-30)
+        bb = jnp.maximum(dot(b, b), 1e-30)
         x = jnp.zeros_like(b)
         r = b
         z = minv(r)
         p = z
-        rz = jnp.dot(r, z)
+        rz = dot(r, z)
 
         def cond(st):
             it, _, r, _, _ = st
-            return (it < cg_iters) & (jnp.dot(r, r) > cg_tol * bb)
+            return (it < cg_iters) & (dot(r, r) > cg_tol * bb)
 
         def body(st):
             it, x, r, p, rz = st
             Ap = project(lap(p))
-            pAp = jnp.dot(p, Ap)
+            pAp = dot(p, Ap)
             # freeze once converged: past machine precision alpha/beta
             # overflow (rz underflows, pAp hits the null space) and a
             # body that keeps stepping turns that into NaN — observed
@@ -127,7 +138,7 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
             x = x + alpha * p
             r = jnp.where(ok, r - alpha * Ap, r)
             z = minv(r)
-            rz_new = jnp.dot(r, z)
+            rz_new = dot(r, z)
             beta = jnp.where(ok, rz_new / jnp.maximum(rz, 1e-30), 0.0)
             return (it + 1, x, r, z + beta * p,
                     jnp.where(ok, rz_new, rz))
@@ -140,7 +151,7 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
         v0 = jax.random.normal(jax.random.PRNGKey(13), (P,),
                                dtype=jnp.float32)
     x = project(v0)
-    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+    x = x / jnp.maximum(jnp.sqrt(dot(x, x)), 1e-30)
 
     def invit_cond(st):
         it, _, align, _ = st
@@ -150,8 +161,8 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
         it, x, _, cg_total = st
         y, cg_it = cg_solve(x)
         y = project(y)
-        y = y / jnp.maximum(jnp.linalg.norm(y), 1e-30)
-        align = jnp.abs(jnp.dot(y, x))
+        y = y / jnp.maximum(jnp.sqrt(dot(y, y)), 1e-30)
+        align = jnp.abs(dot(y, x))
         return it + 1, y, align, cg_total + cg_it
 
     invit_taken, x, _, cg_total = jax.lax.while_loop(
@@ -159,7 +170,7 @@ def fiedler_pair_inverse(e_i, e_j, weights, node_mask, v0=None,
         (jnp.int32(0), x, jnp.float32(0.0), jnp.int32(0)))
     # quadratic form: non-negative terms only, f32-exact at any scale
     dx = x[e_i] - x[e_j]
-    lam2 = jnp.sum(weights * dx * dx) / jnp.maximum(jnp.dot(x, x), 1e-30)
+    lam2 = jnp.sum(weights * dx * dx) / jnp.maximum(dot(x, x), 1e-30)
     if return_iters:
         return lam2, x, invit_taken, cg_total
     return lam2, x
